@@ -1,0 +1,159 @@
+"""Benchmark: 4DOF hybrid VAE+CNN inference throughput (windows/sec/chip).
+
+Workload mirrors the reference's north-star path (BASELINE.md): the full 4DOF
+hybrid test set — 5,440 windows of (100, 12) — through gate (LSTM-VAE recon MSE vs
+threshold) + attribution (CNN on [Z, residual]). The baseline denominator is the
+reference's own algorithm (torch CPU, double VAE forward + CNN on anomalies,
+faithful to 4DOF/Scripts/06_test_full_pipeline.py:327-383), measured live on a
+subsample and scaled.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+N_WINDOWS = 5440
+SEQ_LEN = 100
+NUM_FEATURES = 12
+REPEATS = 20
+
+
+def build_workload(rng: np.random.Generator) -> np.ndarray:
+    return rng.normal(size=(N_WINDOWS, SEQ_LEN, NUM_FEATURES)).astype(np.float32)
+
+
+def bench_jax(W: np.ndarray) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from shm_tpu.config import Stage4DofConfig
+    from shm_tpu.models import vae_from_config, CNN4DOF
+    from shm_tpu.pipeline import make_hybrid_fn
+
+    cfg = Stage4DofConfig()
+    compute_dtype = jnp.bfloat16
+    vae = vae_from_config(cfg.vae, dtype=compute_dtype)
+    cnn = CNN4DOF(dropout=cfg.cnn.dropout, dtype=compute_dtype)
+
+    key = jax.random.PRNGKey(0)
+    vae_params = vae.init({"params": key}, jnp.zeros((2, SEQ_LEN, NUM_FEATURES)))["params"]
+    cnn_vars = cnn.init({"params": key}, jnp.zeros((2, SEQ_LEN, NUM_FEATURES, 2)))
+
+    mean = jnp.zeros((NUM_FEATURES,), jnp.float32)
+    std = jnp.ones((NUM_FEATURES,), jnp.float32)
+    thr = jnp.float32(1.2814)
+
+    fn = make_hybrid_fn(vae, cnn)
+    Wd = jax.device_put(jnp.asarray(W))
+
+    out = fn(vae_params, cnn_vars, Wd, mean, std, thr)   # compile
+    float(out.mse.sum())                                 # force completion
+
+    # NOTE: a host readback per repeat is required for honest timing — on the
+    # remote-tunneled TPU platform block_until_ready returns before execution
+    # finishes, so only a device->host fetch proves the step completed.
+    t0 = time.perf_counter()
+    for _ in range(REPEATS):
+        out = fn(vae_params, cnn_vars, Wd, mean, std, thr)
+        float(out.mse.sum())
+    dt = (time.perf_counter() - t0) / REPEATS
+    return N_WINDOWS / dt
+
+
+def bench_torch_cpu(W: np.ndarray, n_sub: int = 1088) -> float:
+    """Reference-faithful torch-CPU hybrid pass (the baseline denominator)."""
+    import torch
+    import torch.nn as nn
+
+    torch.manual_seed(0)
+    torch.set_num_threads(max(torch.get_num_threads(), 1))
+
+    class TVAE(nn.Module):
+        def __init__(self, D=12, Z=16, H=128, L=2, p=0.3):
+            super().__init__()
+            self.enc = nn.LSTM(D, H, L, batch_first=True, dropout=p)
+            self.ln = nn.LayerNorm(H)
+            self.mu = nn.Linear(H, Z)
+            self.lv = nn.Linear(H, Z)
+            self.z2h = nn.Linear(Z, H)
+            self.dec = nn.LSTM(H, H, L, batch_first=True, dropout=p)
+            self.out = nn.Linear(H, D)
+
+        def forward(self, x):
+            _, (hn, _) = self.enc(x)
+            h = self.ln(hn[-1])
+            mu, lv = self.mu(h), self.lv(h)
+            z = mu + torch.randn_like(mu) * torch.exp(0.5 * lv)
+            h0 = torch.tanh(self.z2h(z)).unsqueeze(1).repeat(1, x.size(1), 1)
+            d, _ = self.dec(h0)
+            return self.out(d), mu, lv
+
+    class CNN(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.f = nn.Sequential(
+                nn.Conv2d(2, 16, 3, padding=1), nn.BatchNorm2d(16), nn.ReLU(),
+                nn.MaxPool2d(2),
+                nn.Conv2d(16, 32, 3, padding=1), nn.BatchNorm2d(32), nn.ReLU(),
+                nn.MaxPool2d(2), nn.Flatten(),
+                nn.Linear(32 * 25 * 3, 128), nn.ReLU(), nn.Linear(128, 2))
+
+        def forward(self, x):
+            return self.f(x)
+
+    vae = TVAE().eval()
+    cnn = CNN().eval()
+    X = torch.tensor(W[:n_sub])
+    thr = 1.2814
+    BATCH = 512
+
+    with torch.no_grad():
+        # warmup
+        vae(X[:BATCH])
+        t0 = time.perf_counter()
+        # pass 1: gate scores (06_test_full_pipeline.py:339-344)
+        mses = []
+        for i in range(0, n_sub, BATCH):
+            xb = X[i:i + BATCH]
+            xh, _, _ = vae(xb)
+            mses.append(((xb - xh) ** 2).mean(dim=(1, 2)))
+        mse = torch.cat(mses)
+        idx = torch.where(mse > thr)[0]
+        # pass 2 on anomalies + CNN (:359-371); random init -> usually all anomalous
+        if idx.numel() == 0:
+            idx = torch.arange(n_sub)
+        for i in range(0, idx.numel(), BATCH):
+            sel = idx[i:i + BATCH]
+            xb = X[sel]
+            xh, _, _ = vae(xb)
+            xin = torch.stack([xb, (xb - xh) ** 2], dim=1)
+            cnn(xin).argmax(dim=1)
+        dt = time.perf_counter() - t0
+    return n_sub / dt
+
+
+def main() -> None:
+    rng = np.random.default_rng(0)
+    W = build_workload(rng)
+    jax_rate = bench_jax(W)
+    try:
+        torch_rate = bench_torch_cpu(W)
+    except Exception:
+        torch_rate = float("nan")
+    vs = jax_rate / torch_rate if torch_rate == torch_rate else None
+    print(json.dumps({
+        "metric": "4dof_hybrid_inference_windows_per_sec",
+        "value": round(jax_rate, 2),
+        "unit": "windows/sec/chip",
+        "vs_baseline": round(vs, 2) if vs is not None else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,13 @@
+from shm_tpu.models.lstm import LSTMLayer, LSTMStack
+from shm_tpu.models.vae import TemporalVAE, vae_from_config
+from shm_tpu.models.cnn import CNN4DOF, CNNOpenLab, cnn_from_config
+
+__all__ = [
+    "LSTMLayer",
+    "LSTMStack",
+    "TemporalVAE",
+    "vae_from_config",
+    "CNN4DOF",
+    "CNNOpenLab",
+    "cnn_from_config",
+]

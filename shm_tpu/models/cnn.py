@@ -1,0 +1,121 @@
+"""CNN fault-attribution classifiers (sensor vs structural), NHWC-native for TPU.
+
+Two variants, rebuilt from the reference:
+
+- ``CNN4DOF`` — 4DOF/Scripts/Models/cnn_model.py:8-52. Reference input is NCHW
+  (B, 2, 100, 12); here NHWC (B, 100, 12, 2), which is the layout XLA's TPU conv
+  kernels want (channels minor). Topology: 2x [Conv3x3 SAME -> BatchNorm -> ReLU ->
+  MaxPool2x2] -> Flatten (32*25*3 = 2400) -> Dense128 -> ReLU -> Dropout ->
+  Dense(num_classes). Xavier-uniform kernels, zero bias.
+
+- ``CNNOpenLab`` — 20250506_openLAB_tests/Codes/Models/cnn_model.py:8-57. Input
+  NHWC (B, 200, 4, 1). 4x [Conv(kt x 3) SAME -> GroupNorm(8) -> SiLU], time-only
+  MaxPool(2,1) after the first three, global average pool -> Dense128 -> SiLU ->
+  Dropout -> Dense(num_classes). Kaiming-normal kernels, zero bias.
+
+Channel semantics for the hybrid pipeline input: channel 0 = normalized window Z,
+channel 1 = squared VAE residual (Z - Z_hat)^2 (4DOF/Scripts/05_train_cnn.py:135-138).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from shm_tpu.config import CNNConfig
+
+xavier_uniform = nn.initializers.xavier_uniform()
+kaiming_normal = nn.initializers.kaiming_normal()
+
+
+class CNN4DOF(nn.Module):
+    """2-block BN/ReLU CNN. Input (B, T=100, D=12, C=2) -> (B, num_classes)."""
+
+    num_classes: int = 2
+    dropout: float = 0.5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
+        conv = lambda f, name: nn.Conv(
+            f, (3, 3), padding="SAME", kernel_init=xavier_uniform,
+            bias_init=nn.initializers.zeros, dtype=self.dtype, name=name)
+        bn = lambda name: nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, name=name)
+
+        x = x.astype(self.dtype)
+        x = nn.relu(bn("bn1")(conv(16, "conv1")(x)))
+        x = nn.max_pool(x, (2, 2), strides=(2, 2))          # (B, 50, 6, 16)
+        x = nn.relu(bn("bn2")(conv(32, "conv2")(x)))
+        x = nn.max_pool(x, (2, 2), strides=(2, 2))          # (B, 25, 3, 32)
+        x = x.reshape(x.shape[0], -1)                        # 2400
+        x = nn.Dense(128, kernel_init=xavier_uniform,
+                     bias_init=nn.initializers.zeros, dtype=self.dtype,
+                     name="fc1")(x)
+        x = nn.relu(x)
+        x = nn.Dropout(self.dropout)(x, deterministic=not train)
+        x = nn.Dense(self.num_classes, kernel_init=xavier_uniform,
+                     bias_init=nn.initializers.zeros, dtype=self.dtype,
+                     name="fc2")(x)
+        return x.astype(jnp.float32)
+
+
+class CNNOpenLab(nn.Module):
+    """4-block GroupNorm/SiLU CNN. Input (B, T=200, D=4, C=1) -> (B, num_classes)."""
+
+    num_classes: int = 2
+    dropout: float = 0.4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
+        def block(x, cout, kt, name):
+            x = nn.Conv(cout, (kt, 3), padding="SAME", kernel_init=kaiming_normal,
+                        bias_init=nn.initializers.zeros, dtype=self.dtype,
+                        name=f"{name}_conv")(x)
+            x = nn.GroupNorm(num_groups=8, dtype=self.dtype, name=f"{name}_gn")(x)
+            return nn.silu(x)
+
+        x = x.astype(self.dtype)
+        x = block(x, 32, 7, "b1")
+        x = nn.max_pool(x, (2, 1), strides=(2, 1))          # 200 -> 100
+        x = block(x, 64, 5, "b2")
+        x = nn.max_pool(x, (2, 1), strides=(2, 1))          # 100 -> 50
+        x = block(x, 128, 5, "b3")
+        x = nn.max_pool(x, (2, 1), strides=(2, 1))          # 50 -> 25
+        x = block(x, 256, 3, "b4")
+        x = x.mean(axis=(1, 2))                              # global avg pool
+        x = nn.Dense(128, kernel_init=kaiming_normal,
+                     bias_init=nn.initializers.zeros, dtype=self.dtype,
+                     name="fc1")(x)
+        x = nn.silu(x)
+        x = nn.Dropout(self.dropout)(x, deterministic=not train)
+        x = nn.Dense(self.num_classes, kernel_init=kaiming_normal,
+                     bias_init=nn.initializers.zeros, dtype=self.dtype,
+                     name="fc2")(x)
+        return x.astype(jnp.float32)
+
+
+def cnn_from_config(cfg: CNNConfig, dtype: Any = jnp.float32) -> nn.Module:
+    if cfg.variant == "4dof":
+        return CNN4DOF(num_classes=cfg.num_classes, dropout=cfg.dropout, dtype=dtype)
+    if cfg.variant == "openlab":
+        return CNNOpenLab(num_classes=cfg.num_classes, dropout=cfg.dropout, dtype=dtype)
+    raise ValueError(f"unknown CNN variant {cfg.variant!r}")
+
+
+def stack_vae_residual_nhwc(Z: jax.Array, recon: jax.Array) -> jax.Array:
+    """Build the 2-channel CNN input [Z, (Z-Z_hat)^2] as NHWC (B, T, D, 2).
+
+    Parity: ``torch.stack([zb, resid], dim=1)`` at 4DOF/Scripts/05_train_cnn.py:135-138
+    (NCHW there; NHWC here).
+    """
+    resid = (Z - recon) ** 2
+    return jnp.stack([Z, resid], axis=-1)
+
+
+__all__ = ["CNN4DOF", "CNNOpenLab", "cnn_from_config", "stack_vae_residual_nhwc"]

@@ -1,0 +1,120 @@
+"""LSTM layers as MXU-friendly ``lax.scan`` kernels.
+
+The reference models wrap ``torch.nn.LSTM`` (cuDNN/CPU kernels). On TPU a
+sequence-recurrent op must be expressed as a scan; the key performance moves here:
+
+1. **Hoist the input projection out of the scan.** For a [B, T, D] batch the
+   ``x_t @ W_ih`` term is computed for all timesteps in ONE [B*T, D] x [D, 4H]
+   matmul that tiles onto the MXU; the scan body only carries the [B, H] x [H, 4H]
+   recurrent matmul plus elementwise gate math (VPU-fused by XLA).
+2. **Constant-input broadcast mode.** The reference decoder feeds the SAME vector at
+   every timestep (``h0.unsqueeze(1).repeat(1, T, 1)`` at
+   4DOF/Scripts/Models/temporal_vae.py:67-68). ``broadcast_steps`` computes that
+   projection once as [B, 4H] — no [B, T, 4H] materialization at all.
+3. Batched windows (N in the thousands) keep the recurrent matmul wide enough for
+   the MXU; see ``shm_tpu.ops.lstm_pallas`` for the fused Pallas kernel variant.
+
+Weight layout/init mirrors torch's LSTM (four gates i|f|g|o concatenated, uniform
+(-1/sqrt(H), 1/sqrt(H)) init) so training dynamics are comparable.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def uniform_init(bound: float):
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+    return init
+
+
+class LSTMLayer(nn.Module):
+    """Single LSTM layer over [B, T, D] -> outputs [B, T, H] and final (h, c)."""
+
+    hidden_dim: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, broadcast_steps: Optional[int] = None):
+        H = self.hidden_dim
+        if broadcast_steps is None:
+            B, T, D = x.shape
+        else:
+            B, D = x.shape
+            T = broadcast_steps
+
+        bound = 1.0 / (H ** 0.5)
+        w_ih = self.param("w_ih", uniform_init(bound), (D, 4 * H))
+        w_hh = self.param("w_hh", uniform_init(bound), (H, 4 * H))
+        b_ih = self.param("b_ih", uniform_init(bound), (4 * H,))
+        b_hh = self.param("b_hh", uniform_init(bound), (4 * H,))
+
+        dt = self.dtype
+        xc = x.astype(dt)
+        w_ihc, w_hhc = w_ih.astype(dt), w_hh.astype(dt)
+        bias = (b_ih + b_hh).astype(dt)
+
+        if broadcast_steps is None:
+            # one big MXU matmul for every timestep's input projection
+            xp = jnp.einsum("btd,dg->btg", xc, w_ihc,
+                            preferred_element_type=dt) + bias   # [B, T, 4H]
+            xp_tm = jnp.swapaxes(xp, 0, 1)                       # time-major [T, B, 4H]
+        else:
+            xp_const = xc @ w_ihc + bias                          # [B, 4H], once
+
+        h0 = jnp.zeros((B, H), dt)
+        c0 = jnp.zeros((B, H), dt)
+
+        def step(carry, xp_t):
+            h, c = carry
+            gates = xp_t + jnp.dot(h, w_hhc, preferred_element_type=dt)
+            i, f, g, o = jnp.split(gates, 4, axis=-1)
+            c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+            h = jax.nn.sigmoid(o) * jnp.tanh(c)
+            return (h, c), h
+
+        if broadcast_steps is None:
+            (h, c), hs = jax.lax.scan(step, (h0, c0), xp_tm)
+        else:
+            (h, c), hs = jax.lax.scan(
+                lambda carry, _: step(carry, xp_const), (h0, c0), None, length=T
+            )
+
+        return jnp.swapaxes(hs, 0, 1), (h, c)                    # [B, T, H]
+
+
+class LSTMStack(nn.Module):
+    """Multi-layer LSTM with inter-layer dropout (torch ``nn.LSTM`` semantics:
+    dropout on every layer's output except the last, only when num_layers > 1)."""
+
+    hidden_dim: int
+    num_layers: int = 1
+    dropout: float = 0.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        *,
+        deterministic: bool = True,
+        broadcast_steps: Optional[int] = None,
+    ):
+        h_last = None
+        out = x
+        for layer in range(self.num_layers):
+            bs = broadcast_steps if layer == 0 else None
+            out, (h_last, _) = LSTMLayer(
+                self.hidden_dim, dtype=self.dtype, name=f"layer{layer}"
+            )(out, broadcast_steps=bs)
+            if layer < self.num_layers - 1 and self.dropout > 0.0:
+                out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
+        return out, h_last
+
+
+__all__ = ["LSTMLayer", "LSTMStack", "uniform_init"]

@@ -1,0 +1,15 @@
+from shm_tpu.parallel.mesh import (
+    make_mesh,
+    shard_batch,
+    replicate,
+    make_dp_vae_train_step,
+    make_dp_hybrid_fn,
+)
+
+__all__ = [
+    "make_mesh",
+    "shard_batch",
+    "replicate",
+    "make_dp_vae_train_step",
+    "make_dp_hybrid_fn",
+]

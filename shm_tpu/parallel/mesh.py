@@ -1,0 +1,105 @@
+"""Multi-chip scale-out: data parallelism over a ``jax.sharding.Mesh``.
+
+The reference is single-process/single-device with no distributed backend
+(SURVEY.md §2.4: no torch.distributed/NCCL/MPI anywhere). The scale axis of this
+workload is the *window count* (thousands of overlapping windows per run, models
+<1M params), so the TPU-native strategy is pure data parallelism:
+
+- parameters are replicated on every chip;
+- the window batch is sharded along a 1-D ``data`` mesh axis;
+- gradients are combined with ``psum`` over ICI inside ``shard_map``;
+- bulk inference shards the batch and needs no collectives at all.
+
+Tensor/pipeline/expert parallelism are intentionally not implemented: every model
+fits per-chip with room to spare (largest: 4DOF VAE ~600k params), so any
+cross-chip model partitioning would only add latency. Sequence parallelism is
+likewise N/A (T <= 200; the T-loop runs on-chip as a ``lax.scan``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from shm_tpu.models.vae import vae_loss
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
+    """1-D device mesh over the first ``n_devices`` devices (default: all)."""
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.array(devs[:n]), (axis,))
+
+
+def shard_batch(x, mesh: Mesh, axis: str = "data"):
+    """Place a batch-major array sharded along the mesh's data axis."""
+    return jax.device_put(x, NamedSharding(mesh, P(axis)))
+
+
+def replicate(tree, mesh: Mesh):
+    """Replicate a pytree (params/opt state) on every device of the mesh."""
+    sh = NamedSharding(mesh, P())
+    return jax.device_put(tree, sh)
+
+
+def make_dp_vae_train_step(model, tx: optax.GradientTransformation, mesh: Mesh,
+                           axis: str = "data"):
+    """Data-parallel VAE train step: per-shard grads + psum-mean, SPMD via shard_map.
+
+    Inputs: replicated (params, opt_state), batch sharded over ``axis``; the
+    returned step is jitted and keeps everything device-resident.
+    """
+
+    def local_step(params, opt_state, xb, key, kl_w):
+        k_rep, k_drop = jax.random.split(jax.random.fold_in(key, jax.lax.axis_index(axis)))
+
+        def loss_fn(p):
+            recon, mu, logvar = model.apply(
+                {"params": p}, xb, sample=True, deterministic=False,
+                rngs={"reparam": k_rep, "dropout": k_drop},
+            )
+            total, r, kl = vae_loss(recon, xb, mu, logvar, kl_w)
+            return total, (r, kl)
+
+        (total, (r, kl)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        # combine across the data axis (ICI collective)
+        grads = jax.lax.pmean(grads, axis)
+        total = jax.lax.pmean(total, axis)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, total
+
+    step = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis), P(), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(step)
+
+
+def make_dp_hybrid_fn(hybrid_fn, mesh: Mesh, axis: str = "data"):
+    """Data-parallel wrapper for the fused hybrid pipeline: shard the window
+    batch, replicate everything else. No collectives — outputs stay sharded."""
+
+    def run(vae_params, cnn_variables, W, mean, std, threshold, key=None):
+        W = shard_batch(W, mesh, axis)
+        return hybrid_fn(vae_params, cnn_variables, W, mean, std, threshold, key=key)
+
+    return run
+
+
+__all__ = [
+    "make_mesh",
+    "shard_batch",
+    "replicate",
+    "make_dp_vae_train_step",
+    "make_dp_hybrid_fn",
+]

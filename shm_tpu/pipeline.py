@@ -1,0 +1,119 @@
+"""Fused hybrid gate->attribution inference — the framework's hot path.
+
+Rebuilds the staged pipeline of 4DOF/Scripts/06_test_full_pipeline.py:327-383 and
+Codes/10_test_hybrid_pipeline.py:319-453 as ONE jit-compiled device function:
+
+reference (per batch):                     this pipeline (per batch):
+  VAE pass 1  -> per-window MSE              single VAE pass -> (recon)
+  host gather of anomalous windows            -> MSE (gate score)
+  VAE pass 2 on anomalies -> residual         -> residual (CNN channel 2)
+  CNN on anomalies                           CNN on ALL windows (masked select)
+  host scatter of predictions                jnp.where on device
+
+The reference's double VAE forward (:339-344 then :359-365) and host round-trips
+disappear; anomaly routing becomes fixed-shape masked compute (jit-friendly, and on
+TPU running the CNN on every window is cheaper than a dynamic gather).
+
+Label convention: 0 = Normal, 1 = Sensor Fault, 2 = Structural Fault
+(4DOF readme; CNN argmax {0,1} -> {1,2} at 06_test_full_pipeline.py:369-371).
+Hybrid score = p(structural), 0 for non-anomalous windows (:372-375).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from shm_tpu.data.windows import normalize_windows
+from shm_tpu.models.cnn import stack_vae_residual_nhwc
+
+
+class HybridOutputs(NamedTuple):
+    """Per-window device outputs of the fused pipeline."""
+
+    mse: jax.Array        # (N,) gate reconstruction MSE
+    anomalous: jax.Array  # (N,) bool gate decision (mse > threshold, strict)
+    y_pred: jax.Array     # (N,) int32 in {0, 1, 2}
+    p_struct: jax.Array   # (N,) hybrid score = p(structural | anomalous) else 0
+    logits: jax.Array     # (N, 2) raw CNN logits (diagnostics)
+
+
+def make_hybrid_fn(vae_model, cnn_model, *, sample: bool = False):
+    """Build the jitted fused gate->attribute function.
+
+    Returns ``fn(vae_params, cnn_variables, W, mean, std, threshold, key=None)``
+    where ``W`` is a raw (N, T, D) window stack. With ``sample=True`` the VAE
+    reconstruction draws z ~ q(z|x) per the reference's stochastic eval; default
+    decodes the posterior mean.
+    """
+
+    @partial(jax.jit, static_argnames=())
+    def hybrid(vae_params, cnn_variables, W, mean, std, threshold, key=None):
+        Z = normalize_windows(W, mean, std)
+        rngs = {"reparam": key} if sample else {}
+        recon, mu, logvar = vae_model.apply(
+            {"params": vae_params}, Z, sample=sample, rngs=rngs
+        )
+        err2 = (Z - recon) ** 2
+        mse = err2.mean(axis=(1, 2))
+        anom = mse > threshold                     # strict >, :350
+
+        xin = stack_vae_residual_nhwc(Z, recon)    # (N, T, D, 2)
+        logits = cnn_model.apply(cnn_variables, xin, train=False)
+        cls01 = jnp.argmax(logits, axis=1).astype(jnp.int32)
+        probs = jax.nn.softmax(logits, axis=1)
+
+        y_pred = jnp.where(anom, cls01 + 1, 0)
+        p_struct = jnp.where(anom, probs[:, 1], 0.0)
+        return HybridOutputs(mse=mse, anomalous=anom, y_pred=y_pred,
+                             p_struct=p_struct, logits=logits)
+
+    return hybrid
+
+
+def run_hybrid_batched(
+    hybrid_fn,
+    vae_params,
+    cnn_variables,
+    W: np.ndarray,
+    mean,
+    std,
+    threshold: float,
+    *,
+    batch_size: int = 8192,
+    key: Optional[jax.Array] = None,
+) -> Dict[str, np.ndarray]:
+    """Host wrapper: run the fused pipeline over a large window stack in padded
+    fixed-shape batches and return NumPy arrays."""
+    N = W.shape[0]
+    if N == 0:
+        return {k: np.zeros((0,), np.float32) for k in
+                ("mse", "anomalous", "y_pred", "p_struct")}
+    bs = min(batch_size, N)
+    nb = -(-N // bs)
+    pad = nb * bs - N
+    Wp = np.concatenate([W, np.zeros((pad,) + W.shape[1:], W.dtype)]) if pad else W
+    mean = jnp.asarray(mean)
+    std = jnp.asarray(std)
+    thr = jnp.float32(threshold)
+
+    outs = []
+    for i in range(nb):
+        k = None if key is None else jax.random.fold_in(key, i)
+        outs.append(hybrid_fn(vae_params, cnn_variables,
+                              jnp.asarray(Wp[i * bs:(i + 1) * bs]), mean, std, thr,
+                              key=k))
+    cat = lambda f: np.concatenate([np.asarray(f(o)) for o in outs])[:N]
+    return {
+        "mse": cat(lambda o: o.mse),
+        "anomalous": cat(lambda o: o.anomalous),
+        "y_pred": cat(lambda o: o.y_pred),
+        "p_struct": cat(lambda o: o.p_struct),
+    }
+
+
+__all__ = ["HybridOutputs", "make_hybrid_fn", "run_hybrid_batched"]

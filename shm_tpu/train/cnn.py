@@ -1,0 +1,259 @@
+"""CNN classifier training: CE / weighted-focal loss, weighted sampling, early stop.
+
+Rebuilds the two reference CNN trainers:
+
+- 4DOF/Scripts/05_train_cnn.py — plain CE, Adam lr=1e-4 wd=5e-5, batch 100,
+  <=50 epochs, early-stop patience 15, best-val-loss restore.
+- Codes/06_train_cnn.py — inverse-frequency-alpha ``WeightedFocalLoss`` (gamma=2)
+  + ``WeightedRandomSampler`` (here: per-epoch weighted resampling with
+  ``jax.random.choice``), AdamW 3e-4 wd 1e-4, grad-clip 2.0, patience 25. That
+  trainer selects its checkpoint by a VAL metric (ST-F2) rather than loss — pass
+  ``val_metric_fn`` (higher is better) to reproduce it.
+
+The per-epoch loop — (re)sampling, batching, forward/backward, BatchNorm running
+stats, optimizer — is one jitted ``lax.scan``; evaluation uses running statistics.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from shm_tpu.config import TrainConfig
+from shm_tpu.train.vae import make_optimizer, _batch_plan
+
+
+def weighted_focal_loss(
+    logits: jax.Array,
+    labels: jax.Array,
+    alpha: jax.Array,
+    gamma: float = 2.0,
+) -> jax.Array:
+    """Per-sample focal loss ``alpha_y * (1 - p_y)^gamma * (-log p_y)``.
+
+    Parity: ``WeightedFocalLoss`` at Codes/06_train_cnn.py:195-207 (alpha is the
+    per-class weight vector, typically inverse class frequency).
+    """
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    ce = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+    pt = jnp.exp(-ce)
+    a = alpha[labels]
+    return a * (1.0 - pt) ** gamma * ce
+
+
+def cross_entropy_loss(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    return optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+
+
+@dataclass
+class CNNTrainResult:
+    variables: Any                  # best {'params', 'batch_stats'}
+    history: Dict[str, list] = field(default_factory=dict)
+    best_val: float = float("inf")  # val loss at the selected epoch
+    best_metric: float = float("-inf")
+    best_epoch: int = -1
+    stopped_epoch: int = -1
+    seconds: float = 0.0
+
+
+def train_cnn(
+    model,
+    Xtr: jax.Array,   # (N, H, W, C) NHWC inputs
+    ytr: jax.Array,   # (N,) int labels
+    Xva: jax.Array,
+    yva: jax.Array,
+    cfg: TrainConfig,
+    *,
+    loss: str = "ce",                    # "ce" | "focal"
+    focal_gamma: float = 2.0,
+    class_alpha: Optional[np.ndarray] = None,   # focal per-class weights
+    sample_weights: Optional[np.ndarray] = None,  # weighted sampling probs (N,)
+    val_metric_fn: Optional[Callable[[np.ndarray, np.ndarray], float]] = None,
+    log_every: int = 0,
+) -> CNNTrainResult:
+    """Train a CNN classifier; select best epoch by val loss (default) or by
+    ``val_metric_fn(probs, yva)`` (higher wins) when given."""
+    Xtr, ytr = jnp.asarray(Xtr), jnp.asarray(ytr, jnp.int32)
+    Xva, yva_j = jnp.asarray(Xva), jnp.asarray(yva, jnp.int32)
+    N = Xtr.shape[0]
+    bs = min(cfg.batch_size, N)
+    nb, pad = _batch_plan(N, bs)
+
+    num_classes = model.num_classes
+    alpha = jnp.asarray(
+        class_alpha if class_alpha is not None else np.ones(num_classes),
+        jnp.float32,
+    )
+    weights = None
+    if sample_weights is not None:
+        w = np.asarray(sample_weights, np.float64)
+        weights = jnp.asarray(w / w.sum(), jnp.float32)
+
+    tx = make_optimizer(cfg)
+    root = jax.random.PRNGKey(cfg.seed)
+    k_init, root = jax.random.split(root)
+    variables = model.init({"params": k_init}, Xtr[:2], train=False)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    opt_state = tx.init(params)
+    use_focal = loss == "focal"
+
+    @jax.jit
+    def train_epoch(params, batch_stats, opt_state, key):
+        kperm, kbatch = jax.random.split(key)
+        if weights is None:
+            perm = jax.random.permutation(kperm, N)
+            idx = jnp.concatenate([perm, perm[: pad]]) if pad else perm
+            mask = jnp.concatenate([jnp.ones((N,), jnp.float32),
+                                    jnp.zeros((pad,), jnp.float32)])
+        else:
+            # WeightedRandomSampler(replacement=True) semantics: draw N samples
+            # proportional to weights each epoch (Codes/06_train_cnn.py:379-392)
+            idx = jax.random.choice(kperm, N, (nb * bs,), replace=True, p=weights)
+            mask = jnp.ones((nb * bs,), jnp.float32)
+        idx = idx.reshape(nb, bs)
+        mask = mask.reshape(nb, bs)
+        bkeys = jax.random.split(kbatch, nb)
+
+        def body(carry, inp):
+            p, bst, s = carry
+            bidx, bmask, bk = inp
+            xb, yb = Xtr[bidx], ytr[bidx]
+
+            def loss_fn(pp):
+                out, mut = model.apply(
+                    {"params": pp, "batch_stats": bst}, xb, train=True,
+                    rngs={"dropout": bk}, mutable=["batch_stats"],
+                )
+                if use_focal:
+                    per = weighted_focal_loss(out, yb, alpha, focal_gamma)
+                else:
+                    per = cross_entropy_loss(out, yb)
+                l = jnp.sum(per * bmask) / jnp.maximum(bmask.sum(), 1.0)
+                return l, mut["batch_stats"]
+
+            (l, new_bst), grads = jax.value_and_grad(loss_fn, has_aux=True)(p)
+            updates, s = tx.update(grads, s, p)
+            p = optax.apply_updates(p, updates)
+            n = bmask.sum()
+            return (p, new_bst, s), (l * n, n)
+
+        (params, batch_stats, opt_state), (ls, ns) = jax.lax.scan(
+            body, (params, batch_stats, opt_state), (idx, mask, bkeys)
+        )
+        return params, batch_stats, opt_state, ls.sum() / jnp.maximum(ns.sum(), 1.0)
+
+    nvb, vpad = _batch_plan(Xva.shape[0], bs)
+
+    @jax.jit
+    def val_epoch(params, batch_stats):
+        Nv = Xva.shape[0]
+        idx = jnp.arange(Nv)
+        idx = jnp.concatenate([idx, jnp.zeros((vpad,), idx.dtype)]) if vpad else idx
+        mask = jnp.concatenate([jnp.ones((Nv,), jnp.float32),
+                                jnp.zeros((vpad,), jnp.float32)])
+        idx, mask = idx.reshape(nvb, bs), mask.reshape(nvb, bs)
+
+        def body(_, inp):
+            bidx, bmask = inp
+            xb, yb = Xva[bidx], yva_j[bidx]
+            out = model.apply({"params": params, "batch_stats": batch_stats},
+                              xb, train=False)
+            if use_focal:
+                per = weighted_focal_loss(out, yb, alpha, focal_gamma)
+            else:
+                per = cross_entropy_loss(out, yb)
+            probs = jax.nn.softmax(out, axis=-1)
+            return None, (jnp.sum(per * bmask), bmask.sum(), probs)
+
+        _, (ls, ns, probs) = jax.lax.scan(body, None, (idx, mask))
+        vloss = ls.sum() / jnp.maximum(ns.sum(), 1.0)
+        return vloss, probs.reshape(-1, probs.shape[-1])[:Nv]
+
+    hist: Dict[str, list] = {k: [] for k in ("epoch", "train_loss", "val_loss", "val_metric")}
+    best_val = float("inf")
+    best_metric = float("-inf")
+    best_epoch = -1
+    best_vars = {"params": params, "batch_stats": batch_stats}
+    patience = cfg.early_stop_patience
+    bad = 0
+    stopped = cfg.epochs
+    t0 = time.perf_counter()
+
+    for epoch in range(1, cfg.epochs + 1):
+        root, ke = jax.random.split(root)
+        params, batch_stats, opt_state, tl = train_epoch(params, batch_stats, opt_state, ke)
+        vl, vprobs = val_epoch(params, batch_stats)
+        vl_f = float(vl)
+        metric = (val_metric_fn(np.asarray(vprobs), np.asarray(yva))
+                  if val_metric_fn is not None else None)
+
+        hist["epoch"].append(epoch)
+        hist["train_loss"].append(float(tl))
+        hist["val_loss"].append(vl_f)
+        hist["val_metric"].append(metric)
+
+        if log_every and epoch % log_every == 0:
+            m = f" | metric={metric:.4f}" if metric is not None else ""
+            print(f"[cnn] epoch {epoch:03d}/{cfg.epochs} | train={float(tl):.6f} "
+                  f"| val={vl_f:.6f}{m}")
+
+        improved = (metric > best_metric) if val_metric_fn is not None else (vl_f < best_val)
+        if improved:
+            best_val = vl_f
+            if metric is not None:
+                best_metric = metric
+            best_epoch = epoch
+            best_vars = {
+                "params": jax.tree.map(lambda x: x, params),
+                "batch_stats": jax.tree.map(lambda x: x, batch_stats),
+            }
+            bad = 0
+        else:
+            bad += 1
+            if patience and bad >= patience:
+                stopped = epoch
+                break
+
+    return CNNTrainResult(
+        variables=best_vars,
+        history=hist,
+        best_val=best_val,
+        best_metric=best_metric,
+        best_epoch=best_epoch,
+        stopped_epoch=stopped,
+        seconds=time.perf_counter() - t0,
+    )
+
+
+def predict_probs(model, variables, X: jax.Array, batch_size: int = 4096) -> np.ndarray:
+    """Softmax probabilities in padded batches (inference, running BN stats)."""
+    X = jnp.asarray(X)
+    N = X.shape[0]
+    if N == 0:
+        return np.zeros((0, model.num_classes), np.float32)
+    nb, pad = _batch_plan(N, batch_size)
+    Xp = jnp.concatenate([X, jnp.zeros((pad,) + X.shape[1:], X.dtype)]) if pad else X
+    Xb = Xp.reshape(nb, batch_size, *X.shape[1:])
+
+    @jax.jit
+    def f(xb):
+        return jax.nn.softmax(model.apply(variables, xb, train=False), axis=-1)
+
+    out = jax.lax.map(f, Xb)
+    return np.asarray(out.reshape(-1, out.shape[-1])[:N], np.float32)
+
+
+__all__ = [
+    "weighted_focal_loss",
+    "cross_entropy_loss",
+    "train_cnn",
+    "predict_probs",
+    "CNNTrainResult",
+]

@@ -1,0 +1,263 @@
+"""Temporal-VAE training: optax loop with sigmoid KL annealing and best-val select.
+
+Rebuilds the reference trainers as jit-compiled epoch scans:
+
+- 4DOF/Scripts/03_train_vae.py (Adam lr=1e-3 wd=1e-5, grad-clip 2.0, KL sigmoid
+  anneal warmup 0.3, batch 256, best-val checkpoint)
+- 1_DOF/Scripts/03_train_vae.py (Adam lr=1e-3, 100 epochs, batch 64)
+- Codes/04_train_vae.py (Adam lr=5e-4, grad-clip 2.0, batch 64)
+
+Optimizer-semantics notes (to match torch):
+- torch ``Adam(weight_decay=w)`` adds ``w * p`` to the (already clipped) gradient
+  before the moment updates -> ``clip_by_global_norm -> add_decayed_weights ->
+  scale_by_adam -> scale(-lr)``.
+- the whole epoch — shuffle, batching (with a masked ragged tail instead of
+  drop_last), forward/backward, optimizer — is ONE jitted ``lax.scan`` over
+  batches, so an epoch is a single device dispatch.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from shm_tpu.config import TrainConfig
+from shm_tpu.models.vae import vae_loss
+
+
+def kl_anneal_sigmoid(epoch: int, n_epochs: int, anneal_ratio: float = 0.3) -> float:
+    """Sigmoid KL weight ramp; ``epoch`` is 1-based.
+
+    Parity: 4DOF/Scripts/03_train_vae.py:120-135 (identical to the 1_DOF variant at
+    1_DOF/Scripts/03_train_vae.py:26-30 up to the int() pivot rounding; this follows
+    the 4DOF version: warm = max(1, int(n_epochs * ratio)), x = (e-1-warm)/warm).
+    """
+    e0 = epoch - 1
+    warm = max(1, int(n_epochs * anneal_ratio))
+    x = (e0 - warm) / float(max(warm, 1))
+    return float(1.0 / (1.0 + math.exp(-x * 5.0)))
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    """torch-compatible Adam/AdamW chain.
+
+    coupled (torch ``Adam(weight_decay=w)``): clip -> add w*p to grad -> adam moments.
+    decoupled (torch ``AdamW``): clip -> adam moments -> add w*p to the update.
+    """
+    parts = []
+    if cfg.grad_clip and cfg.grad_clip > 0:
+        parts.append(optax.clip_by_global_norm(cfg.grad_clip))
+    if cfg.weight_decay and cfg.weight_decay > 0 and not cfg.decoupled_wd:
+        parts.append(optax.add_decayed_weights(cfg.weight_decay))
+    parts.append(optax.scale_by_adam())
+    if cfg.weight_decay and cfg.weight_decay > 0 and cfg.decoupled_wd:
+        parts.append(optax.add_decayed_weights(cfg.weight_decay))
+    parts.append(optax.scale(-cfg.lr))
+    return optax.chain(*parts)
+
+
+def _batch_plan(N: int, bs: int) -> Tuple[int, int]:
+    nb = -(-N // bs)
+    pad = nb * bs - N
+    return nb, pad
+
+
+@dataclass
+class VAETrainResult:
+    params: Any                      # best-val params
+    last_params: Any
+    history: Dict[str, list] = field(default_factory=dict)
+    best_val: float = float("inf")
+    best_epoch: int = -1
+    seconds: float = 0.0
+
+
+def train_vae(
+    model,
+    Ztr: jax.Array,
+    Zva: jax.Array,
+    cfg: TrainConfig,
+    *,
+    init_params: Optional[Any] = None,
+    val_sample: bool = True,
+    log_every: int = 0,
+) -> VAETrainResult:
+    """Train a TemporalVAE on normalized windows; returns best-val params + history.
+
+    ``Ztr``/``Zva``: (N, T, D) normalized window stacks (already on device or host).
+    """
+    Ztr = jnp.asarray(Ztr)
+    Zva = jnp.asarray(Zva)
+    N, T, D = Ztr.shape
+    bs = cfg.batch_size
+    nb, pad = _batch_plan(N, bs)
+    nvb, vpad = _batch_plan(Zva.shape[0], bs)
+
+    tx = make_optimizer(cfg)
+    root = jax.random.PRNGKey(cfg.seed)
+    if init_params is None:
+        k_init, root = jax.random.split(root)
+        init_params = model.init(
+            {"params": k_init}, jnp.zeros((2, T, D), Ztr.dtype)
+        )["params"]
+    params = init_params
+    opt_state = tx.init(params)
+
+    # --- jitted one-epoch train scan ---
+    @jax.jit
+    def train_epoch(params, opt_state, key, kl_w):
+        kperm, kbatch = jax.random.split(key)
+        perm = jax.random.permutation(kperm, N)
+        idx = jnp.concatenate([perm, perm[: pad]]) if pad else perm
+        idx = idx.reshape(nb, bs)
+        mask = jnp.concatenate([jnp.ones((N,), jnp.float32),
+                                jnp.zeros((pad,), jnp.float32)]).reshape(nb, bs)
+        bkeys = jax.random.split(kbatch, nb)
+
+        def body(carry, inp):
+            p, s = carry
+            bidx, bmask, bk = inp
+            k_rep, k_drop = jax.random.split(bk)
+            xb = Ztr[bidx]
+
+            def loss_fn(pp):
+                recon, mu, logvar = model.apply(
+                    {"params": pp}, xb, sample=True, deterministic=False,
+                    rngs={"reparam": k_rep, "dropout": k_drop},
+                )
+                total, r, kl = vae_loss(recon, xb, mu, logvar, kl_w, mask=bmask)
+                return total, (r, kl)
+
+            (total, (r, kl)), grads = jax.value_and_grad(loss_fn, has_aux=True)(p)
+            updates, s = tx.update(grads, s, p)
+            p = optax.apply_updates(p, updates)
+            n = bmask.sum()
+            return (p, s), (total * n, r * n, kl * n, n)
+
+        (params, opt_state), (tl, rl, kll, ns) = jax.lax.scan(
+            body, (params, opt_state), (idx, mask, bkeys)
+        )
+        denom = jnp.maximum(ns.sum(), 1.0)
+        return params, opt_state, tl.sum() / denom, rl.sum() / denom, kll.sum() / denom
+
+    @jax.jit
+    def val_epoch(params, key, kl_w):
+        Nv = Zva.shape[0]
+        idx = jnp.arange(Nv)
+        idx = jnp.concatenate([idx, jnp.zeros((vpad,), idx.dtype)]) if vpad else idx
+        idx = idx.reshape(nvb, bs)
+        mask = jnp.concatenate([jnp.ones((Nv,), jnp.float32),
+                                jnp.zeros((vpad,), jnp.float32)]).reshape(nvb, bs)
+        bkeys = jax.random.split(key, nvb)
+
+        def body(_, inp):
+            bidx, bmask, bk = inp
+            xb = Zva[bidx]
+            rngs = {"reparam": bk} if val_sample else {}
+            recon, mu, logvar = model.apply(
+                {"params": params}, xb, sample=val_sample, deterministic=True,
+                rngs=rngs,
+            )
+            total, r, kl = vae_loss(recon, xb, mu, logvar, kl_w, mask=bmask)
+            n = bmask.sum()
+            return None, (total * n, r * n, kl * n, n)
+
+        _, (tl, rl, kll, ns) = jax.lax.scan(body, None, (idx, mask, bkeys))
+        denom = jnp.maximum(ns.sum(), 1.0)
+        return tl.sum() / denom, rl.sum() / denom, kll.sum() / denom
+
+    hist: Dict[str, list] = {k: [] for k in (
+        "epoch", "kl_w", "train_total", "train_recon", "train_kl",
+        "val_total", "val_recon", "val_kl")}
+    best_val = float("inf")
+    best_epoch = -1
+    best_params = params
+    t0 = time.perf_counter()
+
+    for epoch in range(1, cfg.epochs + 1):
+        kl_w = jnp.float32(kl_anneal_sigmoid(epoch, cfg.epochs, cfg.kl_warmup_ratio))
+        root, ke, kv = jax.random.split(root, 3)
+        params, opt_state, tl, rl, kl = train_epoch(params, opt_state, ke, kl_w)
+        vl, vr, vkl = val_epoch(params, kv, kl_w)
+        vl_f = float(vl)
+
+        hist["epoch"].append(epoch)
+        hist["kl_w"].append(float(kl_w))
+        hist["train_total"].append(float(tl))
+        hist["train_recon"].append(float(rl))
+        hist["train_kl"].append(float(kl))
+        hist["val_total"].append(vl_f)
+        hist["val_recon"].append(float(vr))
+        hist["val_kl"].append(float(vkl))
+
+        if log_every and epoch % log_every == 0:
+            print(f"[train] epoch {epoch:03d}/{cfg.epochs} | kl_w={float(kl_w):.6f} | "
+                  f"total={float(tl):.6f} | recon={float(rl):.6f} | kl={float(kl):.6f}")
+            print(f"[val  ] epoch {epoch:03d}/{cfg.epochs} | total={vl_f:.6f}")
+
+        if vl_f < best_val:
+            best_val = vl_f
+            best_epoch = epoch
+            best_params = jax.tree.map(lambda x: x, params)
+
+    return VAETrainResult(
+        params=best_params,
+        last_params=params,
+        history=hist,
+        best_val=best_val,
+        best_epoch=best_epoch,
+        seconds=time.perf_counter() - t0,
+    )
+
+
+def reconstruction_mse(
+    model,
+    params,
+    Z: jax.Array,
+    *,
+    batch_size: int = 2048,
+    sample: bool = False,
+    key: Optional[jax.Array] = None,
+) -> np.ndarray:
+    """Per-window full MSE ``((Z - Z_hat)**2).mean(axis=(1, 2))`` in padded batches.
+
+    Parity: ``full_mse_scores_batched`` at 4DOF/Scripts/04_vae_thresholding.py:113-124
+    (with ``sample=True`` reproducing the reference's stochastic eval; the default
+    ``sample=False`` scores the posterior-mean reconstruction).
+    """
+    Z = jnp.asarray(Z)
+    N = Z.shape[0]
+    if N == 0:
+        return np.zeros((0,), np.float32)
+    nb, pad = _batch_plan(N, batch_size)
+    Zp = jnp.concatenate([Z, jnp.zeros((pad,) + Z.shape[1:], Z.dtype)]) if pad else Z
+    Zb = Zp.reshape(nb, batch_size, *Z.shape[1:])
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    bkeys = jax.random.split(key, nb)
+
+    @jax.jit
+    def score(xb, bk):
+        rngs = {"reparam": bk} if sample else {}
+        recon, _, _ = model.apply({"params": params}, xb, sample=sample, rngs=rngs)
+        return ((xb - recon) ** 2).mean(axis=(1, 2))
+
+    out = jax.lax.map(lambda inp: score(*inp), (Zb, bkeys))
+    return np.asarray(out.reshape(-1)[:N], np.float32)
+
+
+__all__ = [
+    "kl_anneal_sigmoid",
+    "make_optimizer",
+    "train_vae",
+    "reconstruction_mse",
+    "VAETrainResult",
+]

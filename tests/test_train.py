@@ -1,0 +1,130 @@
+"""Training-loop tests: losses decrease, best-val selection, early stopping,
+KL annealing parity, focal loss parity with the reference formula."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from shm_tpu.config import TrainConfig, VAEConfig
+from shm_tpu.models import vae_from_config, CNN4DOF
+from shm_tpu.train import kl_anneal_sigmoid, train_vae, reconstruction_mse, train_cnn
+from shm_tpu.train.cnn import weighted_focal_loss, predict_probs
+
+
+def test_kl_anneal_matches_reference():
+    """Parity with 4DOF/Scripts/03_train_vae.py:120-135."""
+    def ref(epoch, n_epochs, ratio=0.3):
+        e0 = epoch - 1
+        warm = max(1, int(n_epochs * ratio))
+        x = (e0 - warm) / float(max(warm, 1))
+        return 1.0 / (1.0 + np.exp(-x * 5.0))
+
+    for n in (50, 100, 7):
+        for e in range(1, n + 1):
+            assert kl_anneal_sigmoid(e, n, 0.3) == pytest.approx(ref(e, n))
+    # ramp shape: small early, ~1 late
+    assert kl_anneal_sigmoid(1, 50) < 0.01
+    assert kl_anneal_sigmoid(50, 50) > 0.99
+
+
+@pytest.fixture(scope="module")
+def sine_windows():
+    rng = np.random.default_rng(0)
+    t = np.linspace(0, 8 * np.pi, 600)
+    X = np.stack([np.sin(t + p) for p in rng.uniform(0, 2 * np.pi, 4)], axis=1)
+    X += rng.normal(size=X.shape) * 0.05
+    from shm_tpu.data import make_windows
+    W = np.asarray(make_windows(jnp.asarray(X.astype(np.float32)), 40, 2))
+    return W
+
+
+def test_train_vae_learns(sine_windows):
+    W = sine_windows
+    ntr = int(0.7 * len(W))
+    cfg = TrainConfig(epochs=12, batch_size=32, lr=3e-3, weight_decay=0.0,
+                      grad_clip=2.0, kl_warmup_ratio=0.3, seed=0)
+    model = vae_from_config(VAEConfig(4, 4, 24, 1, 0.0, use_layernorm=True))
+    res = train_vae(model, W[:ntr], W[ntr:], cfg)
+    h = res.history
+    assert h["train_recon"][-1] < h["train_recon"][0] * 0.7
+    assert res.best_epoch >= 1
+    assert np.isfinite(res.best_val)
+    # best-val params correspond to the minimum recorded val loss
+    assert res.best_val == pytest.approx(min(h["val_total"]))
+
+    scores = reconstruction_mse(model, res.params, W[ntr:], batch_size=64)
+    assert scores.shape == (len(W) - ntr,)
+    assert np.isfinite(scores).all()
+    # anomalous windows (white noise) score higher than in-distribution
+    noise = np.random.default_rng(1).normal(size=(20, 40, 4)).astype(np.float32) * 3
+    s_noise = reconstruction_mse(model, res.params, noise, batch_size=64)
+    assert s_noise.mean() > scores.mean() * 2
+
+
+def test_reconstruction_mse_matches_direct_apply(sine_windows):
+    W = sine_windows[:10]
+    model = vae_from_config(VAEConfig(4, 4, 24, 1, 0.0))
+    params = model.init({"params": jax.random.PRNGKey(0)}, jnp.asarray(W))["params"]
+    s = reconstruction_mse(model, params, W, batch_size=4)  # padded ragged batches
+    recon, _, _ = model.apply({"params": params}, jnp.asarray(W))
+    expected = np.asarray(((jnp.asarray(W) - recon) ** 2).mean(axis=(1, 2)))
+    np.testing.assert_allclose(s, expected, rtol=1e-5)
+
+
+def test_weighted_focal_loss_matches_reference_formula():
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    rng = np.random.default_rng(0)
+    logits = rng.normal(size=(16, 2)).astype(np.float32)
+    labels = rng.integers(0, 2, 16)
+    alpha = np.array([0.3, 0.7], np.float32)
+    ours = np.asarray(weighted_focal_loss(jnp.asarray(logits),
+                                          jnp.asarray(labels), jnp.asarray(alpha), 2.0))
+    lt = torch.tensor(logits)
+    yt = torch.tensor(labels)
+    ce = F.cross_entropy(lt, yt, reduction="none")
+    pt = torch.exp(-ce)
+    at = torch.tensor(alpha)[yt]
+    expected = (at * (1 - pt) ** 2 * ce).numpy()
+    np.testing.assert_allclose(ours, expected, rtol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def cnn_toy_data():
+    """Separable 2-class windows: class 1 has much larger channel-2 energy."""
+    rng = np.random.default_rng(2)
+    N = 120
+    y = rng.integers(0, 2, N)
+    X = rng.normal(size=(N, 100, 12, 2)).astype(np.float32) * 0.3
+    X[y == 1, :, :, 1] += 2.0
+    return X, y
+
+
+def test_train_cnn_learns_and_early_stops(cnn_toy_data):
+    X, y = cnn_toy_data
+    cfg = TrainConfig(epochs=30, batch_size=32, lr=1e-3, weight_decay=0.0,
+                      grad_clip=0.0, early_stop_patience=5, seed=0)
+    model = CNN4DOF()
+    res = train_cnn(model, X[:80], y[:80], X[80:], y[80:], cfg)
+    probs = predict_probs(model, res.variables, X[80:], batch_size=32)
+    acc = ((probs[:, 1] > 0.5).astype(int) == y[80:]).mean()
+    assert acc > 0.9
+    assert res.best_epoch >= 1
+    assert res.stopped_epoch <= cfg.epochs
+
+
+def test_train_cnn_weighted_sampling_and_focal(cnn_toy_data):
+    X, y = cnn_toy_data
+    cfg = TrainConfig(epochs=8, batch_size=32, lr=1e-3, weight_decay=1e-4,
+                      grad_clip=2.0, decoupled_wd=True, seed=0)
+    model = CNN4DOF()
+    counts = np.bincount(y[:80], minlength=2)
+    alpha = counts.sum() / (2.0 * counts)
+    sw = alpha[y[:80]]
+    res = train_cnn(model, X[:80], y[:80], X[80:], y[80:], cfg,
+                    loss="focal", focal_gamma=2.0, class_alpha=alpha,
+                    sample_weights=sw)
+    assert np.isfinite(res.history["train_loss"]).all()
+    assert res.history["train_loss"][-1] < res.history["train_loss"][0]
