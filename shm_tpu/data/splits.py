@@ -112,23 +112,25 @@ def run_based_split(
     train_frac: float = 0.40,
     val_frac: float = 0.30,
 ) -> Dict[str, List[str]]:
-    """Shuffle run ids and split 40/30/30 with rounding fixes so every split is
-    non-empty when possible (Codes/02_make_splits.py:26-100)."""
-    ids = list(run_ids)
-    rng = np.random.RandomState(seed)
+    """Shuffle sorted run ids (python ``random``, matching the reference RNG) and
+    split 40/30/30 with rounding fixes (Codes/02_make_splits.py:33-56).
+
+    Reproduces the committed ``run_split.json`` exactly for seed 42.
+    """
+    import random as _random
+
+    ids = sorted(str(r) for r in run_ids)
+    rng = _random.Random()
+    rng.seed(seed)
     rng.shuffle(ids)
     n = len(ids)
-    n_tr = int(round(train_frac * n))
-    n_va = int(round(val_frac * n))
-    n_tr = max(n_tr, 1) if n >= 3 else n_tr
-    n_va = max(n_va, 1) if n >= 3 else n_va
-    while n_tr + n_va >= n and n >= 3:
-        if n_va > 1:
-            n_va -= 1
-        elif n_tr > 1:
-            n_tr -= 1
-        else:
-            break
+    n_tr = max(1, int(round(train_frac * n)))
+    n_va = max(1, int(round(val_frac * n)))
+    n_te = max(1, n - n_tr - n_va)
+    while n_tr + n_va + n_te > n:
+        n_te = max(1, n_te - 1)
+    while n_tr + n_va + n_te < n:
+        n_te += 1
     return {
         "train": ids[:n_tr],
         "val": ids[n_tr:n_tr + n_va],

@@ -42,27 +42,45 @@ class HybridOutputs(NamedTuple):
     logits: jax.Array     # (N, 2) raw CNN logits (diagnostics)
 
 
-def make_hybrid_fn(vae_model, cnn_model, *, sample: bool = False):
+def make_hybrid_fn(vae_model, cnn_model, *, sample: bool = False,
+                   use_fused_vae: bool = False, fused_dtype=None):
     """Build the jitted fused gate->attribute function.
 
     Returns ``fn(vae_params, cnn_variables, W, mean, std, threshold, key=None)``
     where ``W`` is a raw (N, T, D) window stack. With ``sample=True`` the VAE
     reconstruction draws z ~ q(z|x) per the reference's stochastic eval; default
     decodes the posterior mean.
+
+    ``use_fused_vae=True`` routes the deterministic VAE pass through the Pallas
+    kernel (shm_tpu.ops.fused_vae) — one VMEM-resident pass producing (mse,
+    residual) directly; only valid with ``sample=False`` and 2-layer presets.
     """
+    if use_fused_vae and sample:
+        raise ValueError("fused VAE kernel is deterministic (sample=False only)")
 
     @partial(jax.jit, static_argnames=())
     def hybrid(vae_params, cnn_variables, W, mean, std, threshold, key=None):
         Z = normalize_windows(W, mean, std)
-        rngs = {"reparam": key} if sample else {}
-        recon, mu, logvar = vae_model.apply(
-            {"params": vae_params}, Z, sample=sample, rngs=rngs
-        )
-        err2 = (Z - recon) ** 2
-        mse = err2.mean(axis=(1, 2))
-        anom = mse > threshold                     # strict >, :350
+        if use_fused_vae:
+            from shm_tpu.ops import fused_vae_gate
 
-        xin = stack_vae_residual_nhwc(Z, recon)    # (N, T, D, 2)
+            mse, resid = fused_vae_gate(
+                vae_params, Z,
+                num_layers=vae_model.num_layers,
+                use_layernorm=vae_model.use_layernorm,
+                dtype=fused_dtype or vae_model.dtype,
+            )
+            xin = jnp.stack([Z, resid], axis=-1)
+        else:
+            rngs = {"reparam": key} if sample else {}
+            recon, mu, logvar = vae_model.apply(
+                {"params": vae_params}, Z, sample=sample, rngs=rngs
+            )
+            err2 = (Z - recon) ** 2
+            mse = err2.mean(axis=(1, 2))
+            xin = stack_vae_residual_nhwc(Z, recon)    # (N, T, D, 2)
+
+        anom = mse > threshold                     # strict >, :350
         logits = cnn_model.apply(cnn_variables, xin, train=False)
         cls01 = jnp.argmax(logits, axis=1).astype(jnp.int32)
         probs = jax.nn.softmax(logits, axis=1)

@@ -1,0 +1,54 @@
+"""Pallas fused-VAE kernel vs the flax reference model (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from shm_tpu.config import VAEConfig
+from shm_tpu.models import vae_from_config
+from shm_tpu.ops import fused_vae_gate
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = VAEConfig(12, 16, 128, 2, 0.3, use_layernorm=True)
+    model = vae_from_config(cfg)
+    Z = jax.random.normal(jax.random.PRNGKey(0), (200, 100, 12))
+    params = model.init({"params": jax.random.PRNGKey(1)}, Z[:2])["params"]
+    return model, params, Z
+
+
+def test_fused_vae_matches_flax(setup):
+    model, params, Z = setup
+    recon, mu, logvar = model.apply({"params": params}, Z)
+    mse_ref = np.asarray(((Z - recon) ** 2).mean(axis=(1, 2)))
+    resid_ref = np.asarray((Z - recon) ** 2)
+
+    mse, resid = fused_vae_gate(params, Z, dtype=jnp.float32, interpret=True,
+                                batch_tile=128)
+    np.testing.assert_allclose(np.asarray(mse), mse_ref, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(resid), resid_ref, atol=5e-6)
+
+
+def test_fused_vae_pads_ragged_batch(setup):
+    model, params, Z = setup
+    Zr = Z[:37]   # not a multiple of the batch tile
+    recon, _, _ = model.apply({"params": params}, Zr)
+    mse_ref = np.asarray(((Zr - recon) ** 2).mean(axis=(1, 2)))
+    mse, resid = fused_vae_gate(params, Zr, dtype=jnp.float32, interpret=True,
+                                batch_tile=32)
+    assert mse.shape == (37,) and resid.shape == (37, 100, 12)
+    np.testing.assert_allclose(np.asarray(mse), mse_ref, atol=2e-6)
+
+
+def test_fused_vae_no_layernorm():
+    cfg = VAEConfig(4, 3, 16, 2, 0.0, use_layernorm=False)
+    model = vae_from_config(cfg)
+    Z = jax.random.normal(jax.random.PRNGKey(2), (64, 20, 4))
+    params = model.init({"params": jax.random.PRNGKey(3)}, Z[:2])["params"]
+    recon, _, _ = model.apply({"params": params}, Z)
+    mse_ref = np.asarray(((Z - recon) ** 2).mean(axis=(1, 2)))
+    mse, _ = fused_vae_gate(params, Z, use_layernorm=False, dtype=jnp.float32,
+                            interpret=True, batch_tile=32)
+    np.testing.assert_allclose(np.asarray(mse), mse_ref, atol=2e-6)
