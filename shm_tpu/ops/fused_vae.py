@@ -8,7 +8,7 @@ elementwise passes for LayerNorm / latent heads / residual / MSE.
 This kernel runs the whole thing as ONE `pallas_call` per batch tile:
 
   x tile (VMEM) -> enc L1 scan -> enc L2 scan -> LayerNorm -> mu (z = mu)
-      -> tanh(z @ W_z2h) -> dec input projection (computed ONCE: the decoder
+      -> tanh(W_z2h @ z) -> dec input projection (computed ONCE: the decoder
          input is constant across time, 4DOF/Scripts/Models/temporal_vae.py:67-68)
       -> dec L1+L2 scan -> output head -> residual (x - recon)^2 (VMEM write)
       -> window MSE accumulation
@@ -16,17 +16,23 @@ This kernel runs the whole thing as ONE `pallas_call` per batch tile:
 All recurrent state (4 layers' h/c), all weights, and the input tile live in
 VMEM for the full T-step loop; HBM traffic is exactly: read x tile once, write
 residual tile + per-window MSE once. Per step the kernel issues four
-[Bt, H] x [H, 4H] MXU matmuls (the recurrent projections) — everything else is
+[4H, H] x [H, Bt] MXU matmuls (the recurrent projections) — everything else is
 VPU elementwise fused in-register.
 
-Layout notes (see pallas_guide.md):
-- time-major [T, Bt, D] tiles so ``ref[t]`` is a contiguous [Bt, D] slab;
-- batch tile Bt=256 rows (f32 sublane multiple), lane dim = 4H = 512;
-- weights are passed pre-transposed as [in, 4H] so matmuls hit the MXU directly.
+Layout (the key to fitting VMEM — see pallas_guide.md tiling constraints):
+everything runs TRANSPOSED, with the batch tile in the LANE (minor) dimension:
+
+  x tile:   [T, D, Bt]   (D=12 pads only sublanes 12->16, not lanes 12->128)
+  state:    [H, Bt]      (128 sublanes x 256 lanes, exact tile multiples)
+  gates:    [4H, Bt]     (split along sublanes at H=128 boundaries)
+  weights:  passed pre-transposed as [out, in]
+
+A naive [.., Bt, D] layout puts D=12 in lanes, padding every buffer 12->128
+(10.7x) and blowing the 16MB VMEM budget — that layout OOMs at compile time.
 
 Used for inference/scoring only (the gate + CNN-residual path); training keeps
 the XLA scan (autodiff through a Pallas kernel would need a custom VJP and the
-training batch sizes are small enough that XLA is already fine there).
+training batches are small enough that XLA is already fine there).
 """
 
 from __future__ import annotations
@@ -46,108 +52,103 @@ def _round_up(x: int, m: int) -> int:
 
 
 def vae_params_to_kernel_weights(params: Dict, num_layers: int = 2) -> Dict:
-    """Flatten a TemporalVAE flax param tree into the kernel's weight dict.
-
-    LSTM layer weights stay [in, 4H] (already the layout flax stores); biases
-    of each layer are pre-summed (b_ih + b_hh).
-    """
+    """Flatten a TemporalVAE flax param tree into the kernel's (transposed)
+    weight dict: matmul weights as [out_dim, in_dim], biases as [out_dim, 1]
+    (lane-broadcastable), LSTM biases pre-summed (b_ih + b_hh)."""
     w = {}
     for stack, prefix in (("encoder_lstm", "enc"), ("decoder_lstm", "dec")):
         for l in range(num_layers):
             p = params[stack][f"layer{l}"]
-            w[f"{prefix}{l}_wih"] = p["w_ih"]
-            w[f"{prefix}{l}_whh"] = p["w_hh"]
-            w[f"{prefix}{l}_b"] = p["b_ih"] + p["b_hh"]
+            w[f"{prefix}{l}_wih"] = jnp.swapaxes(p["w_ih"], 0, 1)     # [4H, in]
+            w[f"{prefix}{l}_whh"] = jnp.swapaxes(p["w_hh"], 0, 1)     # [4H, H]
+            w[f"{prefix}{l}_b"] = (p["b_ih"] + p["b_hh"])[:, None]    # [4H, 1]
     if "layer_norm" in params:
-        w["ln_scale"] = params["layer_norm"]["scale"]
-        w["ln_bias"] = params["layer_norm"]["bias"]
-    w["mu_w"] = params["fc_mu"]["kernel"]
-    w["mu_b"] = params["fc_mu"]["bias"]
-    w["z2h_w"] = params["fc_latent_to_hidden"]["kernel"]
-    w["z2h_b"] = params["fc_latent_to_hidden"]["bias"]
-    w["out_w"] = params["output_layer"]["kernel"]
-    w["out_b"] = params["output_layer"]["bias"]
+        w["ln_scale"] = params["layer_norm"]["scale"][:, None]        # [H, 1]
+        w["ln_bias"] = params["layer_norm"]["bias"][:, None]
+    w["mu_w"] = jnp.swapaxes(params["fc_mu"]["kernel"], 0, 1)          # [Z, H]
+    w["mu_b"] = params["fc_mu"]["bias"][:, None]
+    w["z2h_w"] = jnp.swapaxes(params["fc_latent_to_hidden"]["kernel"], 0, 1)
+    w["z2h_b"] = params["fc_latent_to_hidden"]["bias"][:, None]
+    w["out_w"] = jnp.swapaxes(params["output_layer"]["kernel"], 0, 1)  # [D, H]
+    w["out_b"] = params["output_layer"]["bias"][:, None]
     return w
 
 
-def _lstm_step(h, c, gates):
-    i, f, g, o = jnp.split(gates, 4, axis=-1)
+def _lstm_step(h, c, gates, H):
+    """gates: [4H, Bt] in torch order i|f|g|o along sublanes."""
+    i = gates[0 * H:1 * H]
+    f = gates[1 * H:2 * H]
+    g = gates[2 * H:3 * H]
+    o = gates[3 * H:4 * H]
     c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
     h = jax.nn.sigmoid(o) * jnp.tanh(c)
     return h, c
 
 
 def _kernel(
-    # inputs (VMEM)
-    x_ref,                     # [T, Bt, D] normalized windows (time-major)
+    x_ref,                     # [T, D, Bt] normalized windows (transposed)
     e0_wih, e0_whh, e0_b,      # encoder L1
     e1_wih, e1_whh, e1_b,      # encoder L2
-    ln_scale, ln_bias,         # LayerNorm (H,)
+    ln_scale, ln_bias,         # LayerNorm ([H,1])
     mu_w, mu_b,                # latent head
     z2h_w, z2h_b,              # latent -> decoder h0
     d0_wih, d0_whh, d0_b,      # decoder L1
     d1_wih, d1_whh, d1_b,      # decoder L2
     out_w, out_b,              # output head
-    # outputs (VMEM)
-    resid_ref,                 # [T, Bt, D] (x - recon)^2
-    mse_ref,                   # [Bt, 1] per-window mean MSE
+    resid_ref,                 # [T, D, Bt] out: (x - recon)^2
+    mse_ref,                   # [1, Bt] out: per-window mean MSE
     *,
     T: int, H: int, use_layernorm: bool, dtype,
 ):
-    Bt = x_ref.shape[1]
+    Bt = x_ref.shape[2]
     f32 = jnp.float32
 
     def mm(a, b):
-        return jnp.dot(a, b, preferred_element_type=f32)
+        return jnp.dot(a.astype(dtype), b.astype(dtype),
+                       preferred_element_type=f32)
 
-    # ----- encoder: 2 stacked scans over time, state in VMEM registers -----
-    h0 = jnp.zeros((Bt, H), f32)
-    c0 = jnp.zeros((Bt, H), f32)
+    h0 = jnp.zeros((H, Bt), f32)
+    c0 = jnp.zeros((H, Bt), f32)
 
+    # ----- encoder: both layers advance together inside one time loop -----
     def enc_body(t, carry):
         h1, c1, h2, c2 = carry
-        x_t = x_ref[t].astype(dtype)
-        g1 = mm(x_t, e0_wih[:].astype(dtype)) + mm(h1.astype(dtype),
-                                                   e0_whh[:].astype(dtype)) + e0_b[:]
-        h1, c1 = _lstm_step(h1, c1, g1)
-        g2 = mm(h1.astype(dtype), e1_wih[:].astype(dtype)) + mm(
-            h2.astype(dtype), e1_whh[:].astype(dtype)) + e1_b[:]
-        h2, c2 = _lstm_step(h2, c2, g2)
+        x_t = x_ref[t]                                        # [D, Bt]
+        g1 = mm(e0_wih[:], x_t) + mm(e0_whh[:], h1) + e0_b[:]
+        h1, c1 = _lstm_step(h1, c1, g1, H)
+        g2 = mm(e1_wih[:], h1) + mm(e1_whh[:], h2) + e1_b[:]
+        h2, c2 = _lstm_step(h2, c2, g2, H)
         return h1, c1, h2, c2
 
     h1, c1, h2, c2 = jax.lax.fori_loop(0, T, enc_body, (h0, c0, h0, c0))
 
-    # ----- LayerNorm + latent head (z = mu, deterministic gate) -----
+    # ----- LayerNorm over H (sublane axis) + latent head (z = mu) -----
     h_last = h2
     if use_layernorm:
-        mean = jnp.mean(h_last, axis=-1, keepdims=True)
-        var = jnp.mean((h_last - mean) ** 2, axis=-1, keepdims=True)
+        mean = jnp.mean(h_last, axis=0, keepdims=True)
+        var = jnp.mean((h_last - mean) ** 2, axis=0, keepdims=True)
         h_last = (h_last - mean) * jax.lax.rsqrt(var + 1e-6) * ln_scale[:] + ln_bias[:]
-    mu = mm(h_last.astype(dtype), mu_w[:].astype(dtype)) + mu_b[:]
+    mu = mm(mu_w[:], h_last) + mu_b[:]                        # [Z, Bt]
 
     # ----- decoder: constant input projected ONCE -----
-    dec_in = jnp.tanh(mm(mu.astype(dtype), z2h_w[:].astype(dtype)) + z2h_b[:])
-    xp_const = mm(dec_in.astype(dtype), d0_wih[:].astype(dtype)) + d0_b[:]
-
-    out_wc = out_w[:].astype(dtype)
-    out_bc = out_b[:]
+    dec_in = jnp.tanh(mm(z2h_w[:], mu) + z2h_b[:])            # [H, Bt]
+    xp_const = mm(d0_wih[:], dec_in) + d0_b[:]                # [4H, Bt]
 
     def dec_body(t, carry):
         h1, c1, h2, c2, acc = carry
-        g1 = xp_const + mm(h1.astype(dtype), d0_whh[:].astype(dtype))
-        h1, c1 = _lstm_step(h1, c1, g1)
-        g2 = mm(h1.astype(dtype), d1_wih[:].astype(dtype)) + mm(
-            h2.astype(dtype), d1_whh[:].astype(dtype)) + d1_b[:]
-        h2, c2 = _lstm_step(h2, c2, g2)
-        y_t = mm(h2.astype(dtype), out_wc) + out_bc          # [Bt, D]
+        g1 = xp_const + mm(d0_whh[:], h1)
+        h1, c1 = _lstm_step(h1, c1, g1, H)
+        g2 = mm(d1_wih[:], h1) + mm(d1_whh[:], h2) + d1_b[:]
+        h2, c2 = _lstm_step(h2, c2, g2, H)
+        y_t = mm(out_w[:], h2) + out_b[:]                     # [D, Bt]
         r_t = (x_ref[t] - y_t) ** 2
         resid_ref[t] = r_t
-        acc = acc + jnp.sum(r_t, axis=-1, keepdims=True)      # [Bt, 1]
+        acc = acc + jnp.sum(r_t, axis=0, keepdims=True)       # [1, Bt]
         return h1, c1, h2, c2, acc
 
-    acc0 = jnp.zeros((Bt, 1), f32)
+    acc0 = jnp.zeros((1, Bt), f32)
     *_, acc = jax.lax.fori_loop(0, T, dec_body, (h0, c0, h0, c0, acc0))
-    D = x_ref.shape[2]
+    D = x_ref.shape[1]
     mse_ref[:] = acc / (T * D)
 
 
@@ -174,14 +175,14 @@ def fused_vae_gate(
         raise NotImplementedError("fused kernel supports num_layers=2 (4DOF preset)")
     w = vae_params_to_kernel_weights(params, num_layers)
     N, T, D = Z.shape
-    H = w["enc0_whh"].shape[0]
+    H = w["enc0_whh"].shape[1]
 
     Np = _round_up(max(N, 1), batch_tile)
     Zp = jnp.pad(Z, ((0, Np - N), (0, 0), (0, 0)))
-    Zt = jnp.swapaxes(Zp, 0, 1)                      # [T, Np, D] time-major
+    Zt = jnp.transpose(Zp, (1, 2, 0))               # [T, D, Np] batch-in-lanes
 
     grid = (Np // batch_tile,)
-    tile_in = pl.BlockSpec((T, batch_tile, D), lambda i: (0, i, 0),
+    tile_in = pl.BlockSpec((T, D, batch_tile), lambda i: (0, 0, i),
                            memory_space=pltpu.VMEM)
     full = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
                                       memory_space=pltpu.VMEM)
@@ -189,8 +190,8 @@ def fused_vae_gate(
     weights = [
         w["enc0_wih"], w["enc0_whh"], w["enc0_b"],
         w["enc1_wih"], w["enc1_whh"], w["enc1_b"],
-        w.get("ln_scale", jnp.ones((H,), jnp.float32)),
-        w.get("ln_bias", jnp.zeros((H,), jnp.float32)),
+        w.get("ln_scale", jnp.ones((H, 1), jnp.float32)),
+        w.get("ln_bias", jnp.zeros((H, 1), jnp.float32)),
         w["mu_w"], w["mu_b"],
         w["z2h_w"], w["z2h_b"],
         w["dec0_wih"], w["dec0_whh"], w["dec0_b"],
@@ -207,20 +208,20 @@ def fused_vae_gate(
         grid=grid,
         in_specs=[tile_in] + w_specs,
         out_specs=(
-            pl.BlockSpec((T, batch_tile, D), lambda i: (0, i, 0),
+            pl.BlockSpec((T, D, batch_tile), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((batch_tile, 1), lambda i: (i, 0),
+            pl.BlockSpec((1, batch_tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((T, Np, D), jnp.float32),
-            jax.ShapeDtypeStruct((Np, 1), jnp.float32),
+            jax.ShapeDtypeStruct((T, D, Np), jnp.float32),
+            jax.ShapeDtypeStruct((1, Np), jnp.float32),
         ),
         interpret=interpret,
     )(Zt, *weights)
 
-    resid = jnp.swapaxes(resid_t, 0, 1)[:N]
-    return mse[:N, 0], resid
+    resid = jnp.transpose(resid_t, (2, 0, 1))[:N]
+    return mse[0, :N], resid
 
 
 __all__ = ["fused_vae_gate", "vae_params_to_kernel_weights"]

@@ -76,9 +76,15 @@ def train_cnn(
     sample_weights: Optional[np.ndarray] = None,  # weighted sampling probs (N,)
     val_metric_fn: Optional[Callable[[np.ndarray, np.ndarray], float]] = None,
     log_every: int = 0,
+    checkpoint_dir: Optional[str] = None,
+    checkpoint_every: int = 0,
+    resume: bool = True,
 ) -> CNNTrainResult:
     """Train a CNN classifier; select best epoch by val loss (default) or by
-    ``val_metric_fn(probs, yva)`` (higher wins) when given."""
+    ``val_metric_fn(probs, yva)`` (higher wins) when given.
+
+    ``checkpoint_dir``/``checkpoint_every`` enable full-state mid-training
+    checkpointing with exact resume (see shm_tpu.train.checkpoint)."""
     Xtr, ytr = jnp.asarray(Xtr), jnp.asarray(ytr, jnp.int32)
     Xva, yva_j = jnp.asarray(Xva), jnp.asarray(yva, jnp.int32)
     N = Xtr.shape[0]
@@ -184,9 +190,35 @@ def train_cnn(
     patience = cfg.early_stop_patience
     bad = 0
     stopped = cfg.epochs
+    start_epoch = 1
+
+    ckpt_path = None
+    if checkpoint_dir:
+        from shm_tpu.train.checkpoint import load_train_ckpt, save_train_ckpt
+
+        ckpt_path = f"{checkpoint_dir}/cnn_train_state.msgpack"
+        if resume:
+            template = {"params": params, "batch_stats": batch_stats,
+                        "opt_state": opt_state, "best_vars": best_vars, "rng": root}
+            restored = load_train_ckpt(ckpt_path, template)
+            if restored is not None:
+                arrays, meta = restored
+                params = arrays["params"]
+                batch_stats = arrays["batch_stats"]
+                opt_state = arrays["opt_state"]
+                best_vars = arrays["best_vars"]
+                root = arrays["rng"]
+                hist = meta["history"]
+                best_val = meta["best_val"]
+                best_metric = meta["best_metric"]
+                best_epoch = meta["best_epoch"]
+                bad = meta["bad"]
+                start_epoch = meta["epoch"] + 1
+                print(f"[resume] restored epoch {meta['epoch']} from {ckpt_path}")
+
     t0 = time.perf_counter()
 
-    for epoch in range(1, cfg.epochs + 1):
+    for epoch in range(start_epoch, cfg.epochs + 1):
         root, ke = jax.random.split(root)
         params, batch_stats, opt_state, tl = train_epoch(params, batch_stats, opt_state, ke)
         vl, vprobs = val_epoch(params, batch_stats)
@@ -220,6 +252,15 @@ def train_cnn(
             if patience and bad >= patience:
                 stopped = epoch
                 break
+
+        if ckpt_path and checkpoint_every and epoch % checkpoint_every == 0:
+            save_train_ckpt(
+                ckpt_path,
+                {"params": params, "batch_stats": batch_stats,
+                 "opt_state": opt_state, "best_vars": best_vars, "rng": root},
+                {"epoch": epoch, "best_val": best_val, "best_metric": best_metric,
+                 "best_epoch": best_epoch, "bad": bad, "history": hist},
+            )
 
     return CNNTrainResult(
         variables=best_vars,

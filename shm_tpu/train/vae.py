@@ -89,10 +89,18 @@ def train_vae(
     init_params: Optional[Any] = None,
     val_sample: bool = True,
     log_every: int = 0,
+    checkpoint_dir: Optional[str] = None,
+    checkpoint_every: int = 0,
+    resume: bool = True,
 ) -> VAETrainResult:
     """Train a TemporalVAE on normalized windows; returns best-val params + history.
 
     ``Ztr``/``Zva``: (N, T, D) normalized window stacks (already on device or host).
+
+    With ``checkpoint_dir`` + ``checkpoint_every=k``, the FULL training state
+    (params, optimizer moments, best-val selection, PRNG key, history) persists
+    every k epochs and an interrupted run resumes exactly (a capability the
+    reference lacks — SURVEY.md §5 checkpoint/resume).
     """
     Ztr = jnp.asarray(Ztr)
     Zva = jnp.asarray(Zva)
@@ -180,9 +188,32 @@ def train_vae(
     best_val = float("inf")
     best_epoch = -1
     best_params = params
+    start_epoch = 1
+
+    ckpt_path = None
+    if checkpoint_dir:
+        from shm_tpu.train.checkpoint import load_train_ckpt, save_train_ckpt
+
+        ckpt_path = f"{checkpoint_dir}/vae_train_state.msgpack"
+        if resume:
+            template = {"params": params, "opt_state": opt_state,
+                        "best_params": params, "rng": root}
+            restored = load_train_ckpt(ckpt_path, template)
+            if restored is not None:
+                arrays, meta = restored
+                params = arrays["params"]
+                opt_state = arrays["opt_state"]
+                best_params = arrays["best_params"]
+                root = arrays["rng"]
+                hist = meta["history"]
+                best_val = meta["best_val"]
+                best_epoch = meta["best_epoch"]
+                start_epoch = meta["epoch"] + 1
+                print(f"[resume] restored epoch {meta['epoch']} from {ckpt_path}")
+
     t0 = time.perf_counter()
 
-    for epoch in range(1, cfg.epochs + 1):
+    for epoch in range(start_epoch, cfg.epochs + 1):
         kl_w = jnp.float32(kl_anneal_sigmoid(epoch, cfg.epochs, cfg.kl_warmup_ratio))
         root, ke, kv = jax.random.split(root, 3)
         params, opt_state, tl, rl, kl = train_epoch(params, opt_state, ke, kl_w)
@@ -207,6 +238,15 @@ def train_vae(
             best_val = vl_f
             best_epoch = epoch
             best_params = jax.tree.map(lambda x: x, params)
+
+        if ckpt_path and checkpoint_every and epoch % checkpoint_every == 0:
+            save_train_ckpt(
+                ckpt_path,
+                {"params": params, "opt_state": opt_state,
+                 "best_params": best_params, "rng": root},
+                {"epoch": epoch, "best_val": best_val, "best_epoch": best_epoch,
+                 "history": hist},
+            )
 
     return VAETrainResult(
         params=best_params,

@@ -1,0 +1,73 @@
+"""Checkpoint/resume and profiling-utility tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from shm_tpu.config import TrainConfig, VAEConfig
+from shm_tpu.models import vae_from_config
+from shm_tpu.train import train_vae
+from shm_tpu.utils.checkpoint import save_params, load_params
+from shm_tpu.utils.profiling import Timer, throughput
+
+
+@pytest.fixture(scope="module")
+def windows():
+    rng = np.random.default_rng(0)
+    t = np.linspace(0, 8 * np.pi, 400)
+    X = np.stack([np.sin(t + p) for p in rng.uniform(0, 2 * np.pi, 4)], axis=1)
+    from shm_tpu.data import make_windows
+    return np.asarray(make_windows(jnp.asarray(X.astype(np.float32)), 30, 2))
+
+
+def test_params_checkpoint_roundtrip(tmp_path, windows):
+    model = vae_from_config(VAEConfig(4, 3, 16, 1, 0.0))
+    params = model.init({"params": jax.random.PRNGKey(0)},
+                        jnp.asarray(windows[:2]))["params"]
+    save_params({"params": params}, tmp_path / "m.msgpack")
+    template = model.init({"params": jax.random.PRNGKey(1)},
+                          jnp.asarray(windows[:2]))
+    restored = load_params({"params": template["params"]}, tmp_path / "m.msgpack")
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(restored["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_train_resume_is_exact(tmp_path, windows):
+    """Interrupted-then-resumed training produces the identical result as an
+    uninterrupted run (full state incl. optimizer moments and PRNG persists)."""
+    model = vae_from_config(VAEConfig(4, 3, 16, 1, 0.0))
+    W = windows
+    cfg = TrainConfig(epochs=6, batch_size=32, lr=1e-3, weight_decay=1e-5,
+                      grad_clip=2.0, seed=0)
+
+    full = train_vae(model, W, W[:32], cfg)
+
+    d1 = tmp_path / "ck"
+    # phase 1: run only 3 epochs (simulated interruption), checkpointing each
+    part = train_vae(model, W, W[:32],
+                     TrainConfig(epochs=3, batch_size=32, lr=1e-3,
+                                 weight_decay=1e-5, grad_clip=2.0, seed=0),
+                     checkpoint_dir=str(d1), checkpoint_every=1)
+    # phase 2: resume to epoch 6
+    res = train_vae(model, W, W[:32], cfg, checkpoint_dir=str(d1),
+                    checkpoint_every=1, resume=True)
+
+    assert res.history["epoch"] == full.history["epoch"]
+    np.testing.assert_allclose(res.history["train_total"],
+                               full.history["train_total"], rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(full.last_params),
+                    jax.tree.leaves(res.last_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+
+
+def test_timer_and_throughput():
+    t = Timer()
+    with t.span("a"):
+        sum(range(1000))
+    with t.span("a"):
+        sum(range(1000))
+    rep = t.report()
+    assert rep["a"]["calls"] == 2 and rep["a"]["seconds"] > 0
+    th = throughput(5440, 0.035)
+    assert th["windows_per_sec"] == pytest.approx(5440 / 0.035)

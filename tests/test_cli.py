@@ -1,0 +1,86 @@
+"""CLI integration tests: stage chains run end-to-end on tiny settings.
+
+The 1_DOF chain runs by default (lightweight). The 4DOF and openLAB chains are
+gated behind SHM_TPU_SLOW_TESTS=1 — they are exercised on real hardware by the
+stage runs, and openLAB convs are pathologically slow on XLA CPU.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+slow = pytest.mark.skipif(os.environ.get("SHM_TPU_SLOW_TESTS") != "1",
+                          reason="set SHM_TPU_SLOW_TESTS=1 to run")
+
+
+def test_stage1dof_chain(tmp_path):
+    from shm_tpu.cli import stage1dof
+
+    root = str(tmp_path / "1dof")
+    for cmd in ("gen-seen", "gen-unseen"):
+        stage1dof.main([cmd, "--root", root, "--no-plots"])
+    stage1dof.main(["train-vae", "--root", root, "--epochs", "1", "--no-plots"])
+    stage1dof.main(["test-seen", "--root", root, "--no-plots"])
+    stage1dof.main(["test-unseen", "--root", root, "--no-plots"])
+    stage1dof.main(["compare-rmse", "--root", root, "--no-plots"])
+
+    # artifacts exist and are well-formed
+    import pandas as pd
+
+    raw = pd.read_csv(tmp_path / "1dof" / "raw" / "1dof_seen_variants.csv")
+    assert raw.shape == (3001, 13)
+    split = json.loads((tmp_path / "1dof" / "processed" / "split.json").read_text())
+    assert split["split_index"] == 1500
+    for tag in ("seen", "unseen"):
+        r = pd.read_csv(tmp_path / "1dof" / "tables" / f"reconstruction_{tag}"
+                        / "segment_rmse.csv")
+        assert set(r.columns) == {"segment_index", "rmse"}
+        assert np.isfinite(r["rmse"]).all()
+    summary = pd.read_csv(tmp_path / "1dof" / "figures" / "rmse_comparison"
+                          / "rmse_summary_stats.csv")
+    assert list(summary["Set"]) == ["Seen", "Unseen"]
+
+
+@slow
+def test_stage4dof_chain(tmp_path):
+    from shm_tpu.cli import stage4dof
+
+    root = str(tmp_path / "4dof")
+    for cmd in ("gen-normal", "gen-faults", "make-splits"):
+        stage4dof.main([cmd, "--root", root, "--no-plots"])
+    stage4dof.main(["train-vae", "--root", root, "--epochs", "2", "--no-plots"])
+    stage4dof.main(["threshold", "--root", root, "--no-plots"])
+    stage4dof.main(["train-cnn", "--root", root, "--epochs", "2", "--no-plots"])
+    stage4dof.main(["test-pipeline", "--root", root, "--no-plots"])
+
+    metrics = json.loads((tmp_path / "4dof" / "figures"
+                          / "pipeline_metrics.json").read_text())
+    assert 0.0 <= metrics["accuracy"] <= 1.0
+    assert len(metrics["confusion_matrix_counts"]) == 3
+    thr = json.loads((tmp_path / "4dof" / "processed"
+                      / "vae_threshold.json").read_text())
+    assert thr["percentile"] == 99.0 and thr["threshold"] > 0
+
+
+@slow
+def test_openlab_chain(tmp_path):
+    if not os.path.isdir("/root/reference/20250506_openLAB_tests/Data/raw"):
+        pytest.skip("reference raw data not mounted")
+    from shm_tpu.cli import openlab
+
+    root = str(tmp_path / "openlab")
+    for cmd in ("extract", "make-splits", "featurize"):
+        openlab.main([cmd, "--root", root])
+    openlab.main(["train-vae", "--root", root, "--epochs", "1"])
+    openlab.main(["validate-vae", "--root", root])
+    openlab.main(["train-cnn", "--root", root, "--epochs", "1"])
+    openlab.main(["validate-cnn", "--root", root])
+    openlab.main(["train-ml", "--root", root])
+    openlab.main(["validate-ml", "--root", root])
+    openlab.main(["test-hybrid", "--root", root])
+    openlab.main(["plots", "--root", root])
+    summary = json.loads((tmp_path / "openlab" / "output" / "Hybrid_Pipeline"
+                          / "reports" / "comparison_summary.json").read_text())
+    assert len(summary["models"]) == 6
