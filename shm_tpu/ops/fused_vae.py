@@ -87,19 +87,21 @@ def _lstm_step(h, c, gates, H):
 
 def _kernel(
     x_ref,                     # [T, D, Bt] normalized windows (transposed)
-    e0_wih, e0_whh, e0_b,      # encoder L1
-    e1_wih, e1_whh, e1_b,      # encoder L2
-    ln_scale, ln_bias,         # LayerNorm ([H,1])
-    mu_w, mu_b,                # latent head
-    z2h_w, z2h_b,              # latent -> decoder h0
-    d0_wih, d0_whh, d0_b,      # decoder L1
-    d1_wih, d1_whh, d1_b,      # decoder L2
-    out_w, out_b,              # output head
-    resid_ref,                 # [T, D, Bt] out: (x - recon)^2
-    mse_ref,                   # [1, Bt] out: per-window mean MSE
-    *,
-    T: int, H: int, use_layernorm: bool, dtype,
+    *refs,                     # L encoder triples, [ln pair,] mu/z2h pairs,
+                               # L decoder triples, out pair, then out refs
+    T: int, H: int, num_layers: int, use_layernorm: bool, dtype,
 ):
+    it = iter(refs)
+    enc = [(next(it), next(it), next(it)) for _ in range(num_layers)]
+    ln_scale, ln_bias = (next(it), next(it)) if use_layernorm else (None, None)
+    mu_w, mu_b = next(it), next(it)
+    z2h_w, z2h_b = next(it), next(it)
+    dec = [(next(it), next(it), next(it)) for _ in range(num_layers)]
+    out_w, out_b = next(it), next(it)
+    rest = list(it)
+    resid_ref = rest[0] if len(rest) == 2 else None
+    mse_ref = rest[-1]
+
     Bt = x_ref.shape[2]
     f32 = jnp.float32
 
@@ -107,23 +109,26 @@ def _kernel(
         return jnp.dot(a.astype(dtype), b.astype(dtype),
                        preferred_element_type=f32)
 
-    h0 = jnp.zeros((H, Bt), f32)
-    c0 = jnp.zeros((H, Bt), f32)
+    zeros = jnp.zeros((H, Bt), f32)
 
-    # ----- encoder: both layers advance together inside one time loop -----
+    # ----- encoder: all layers advance together inside one time loop -----
     def enc_body(t, carry):
-        h1, c1, h2, c2 = carry
-        x_t = x_ref[t]                                        # [D, Bt]
-        g1 = mm(e0_wih[:], x_t) + mm(e0_whh[:], h1) + e0_b[:]
-        h1, c1 = _lstm_step(h1, c1, g1, H)
-        g2 = mm(e1_wih[:], h1) + mm(e1_whh[:], h2) + e1_b[:]
-        h2, c2 = _lstm_step(h2, c2, g2, H)
-        return h1, c1, h2, c2
+        hs, cs = carry
+        inp = x_ref[t]                                        # [D, Bt]
+        new_h, new_c = [], []
+        for l, (wih, whh, b) in enumerate(enc):
+            g = mm(wih[:], inp) + mm(whh[:], hs[l]) + b[:]
+            h, c = _lstm_step(hs[l], cs[l], g, H)
+            new_h.append(h)
+            new_c.append(c)
+            inp = h
+        return tuple(new_h), tuple(new_c)
 
-    h1, c1, h2, c2 = jax.lax.fori_loop(0, T, enc_body, (h0, c0, h0, c0))
+    hs, _ = jax.lax.fori_loop(
+        0, T, enc_body, ((zeros,) * num_layers, (zeros,) * num_layers))
 
     # ----- LayerNorm over H (sublane axis) + latent head (z = mu) -----
-    h_last = h2
+    h_last = hs[-1]
     if use_layernorm:
         mean = jnp.mean(h_last, axis=0, keepdims=True)
         var = jnp.mean((h_last - mean) ** 2, axis=0, keepdims=True)
@@ -132,29 +137,40 @@ def _kernel(
 
     # ----- decoder: constant input projected ONCE -----
     dec_in = jnp.tanh(mm(z2h_w[:], mu) + z2h_b[:])            # [H, Bt]
+    d0_wih, d0_whh, d0_b = dec[0]
     xp_const = mm(d0_wih[:], dec_in) + d0_b[:]                # [4H, Bt]
 
     def dec_body(t, carry):
-        h1, c1, h2, c2, acc = carry
-        g1 = xp_const + mm(d0_whh[:], h1)
-        h1, c1 = _lstm_step(h1, c1, g1, H)
-        g2 = mm(d1_wih[:], h1) + mm(d1_whh[:], h2) + d1_b[:]
-        h2, c2 = _lstm_step(h2, c2, g2, H)
-        y_t = mm(out_w[:], h2) + out_b[:]                     # [D, Bt]
-        r_t = (x_ref[t] - y_t) ** 2
-        resid_ref[t] = r_t
+        hs, cs, acc = carry
+        new_h, new_c = [], []
+        g = xp_const + mm(d0_whh[:], hs[0])
+        h, c = _lstm_step(hs[0], cs[0], g, H)
+        new_h.append(h)
+        new_c.append(c)
+        for l in range(1, num_layers):
+            wih, whh, b = dec[l]
+            g = mm(wih[:], new_h[-1]) + mm(whh[:], hs[l]) + b[:]
+            h, c = _lstm_step(hs[l], cs[l], g, H)
+            new_h.append(h)
+            new_c.append(c)
+        y_t = mm(out_w[:], new_h[-1]) + out_b[:]              # [D, Bt]
+        r_t = (x_ref[t].astype(f32) - y_t) ** 2
+        if resid_ref is not None:
+            resid_ref[t] = r_t.astype(resid_ref.dtype)
         acc = acc + jnp.sum(r_t, axis=0, keepdims=True)       # [1, Bt]
-        return h1, c1, h2, c2, acc
+        return tuple(new_h), tuple(new_c), acc
 
     acc0 = jnp.zeros((1, Bt), f32)
-    *_, acc = jax.lax.fori_loop(0, T, dec_body, (h0, c0, h0, c0, acc0))
+    *_, acc = jax.lax.fori_loop(
+        0, T, dec_body, ((zeros,) * num_layers, (zeros,) * num_layers, acc0))
     D = x_ref.shape[1]
     mse_ref[:] = acc / (T * D)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_layers", "use_layernorm", "batch_tile", "dtype", "interpret"),
+    static_argnames=("num_layers", "use_layernorm", "batch_tile", "dtype",
+                     "io_dtype", "with_residual", "interpret"),
 )
 def fused_vae_gate(
     params: Dict,
@@ -164,22 +180,30 @@ def fused_vae_gate(
     use_layernorm: bool = True,
     batch_tile: int = 256,
     dtype=jnp.bfloat16,
+    io_dtype=None,
+    with_residual: bool = True,
     interpret: bool = False,
-) -> Tuple[jax.Array, jax.Array]:
-    """Fused deterministic VAE pass: returns (mse [N], residual [N, T, D]).
+) -> Tuple[jax.Array, jax.Array | None]:
+    """Fused deterministic VAE pass: returns (mse [N], residual [N, T, D] | None).
 
     Semantics match ``model.apply(..., sample=False)`` + residual/MSE epilogue
     (z = posterior mean). Batch is padded to a multiple of ``batch_tile``.
+
+    - ``io_dtype``: dtype of the window tile in HBM/VMEM and of the residual
+      output (bf16 halves HBM traffic; MSE still accumulates in f32).
+    - ``with_residual=False``: gate-only scoring — skips the residual store
+      entirely (the threshold-calibration path needs only the MSE).
     """
-    if num_layers != 2:
-        raise NotImplementedError("fused kernel supports num_layers=2 (4DOF preset)")
+    if num_layers not in (1, 2):
+        raise NotImplementedError("fused kernel supports 1- or 2-layer presets")
     w = vae_params_to_kernel_weights(params, num_layers)
     N, T, D = Z.shape
     H = w["enc0_whh"].shape[1]
+    io_dtype = io_dtype or Z.dtype
 
     Np = _round_up(max(N, 1), batch_tile)
     Zp = jnp.pad(Z, ((0, Np - N), (0, 0), (0, 0)))
-    Zt = jnp.transpose(Zp, (1, 2, 0))               # [T, D, Np] batch-in-lanes
+    Zt = jnp.transpose(Zp, (1, 2, 0)).astype(io_dtype)   # [T, D, Np] batch-in-lanes
 
     grid = (Np // batch_tile,)
     tile_in = pl.BlockSpec((T, D, batch_tile), lambda i: (0, 0, i),
@@ -187,40 +211,49 @@ def fused_vae_gate(
     full = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
                                       memory_space=pltpu.VMEM)
 
-    weights = [
-        w["enc0_wih"], w["enc0_whh"], w["enc0_b"],
-        w["enc1_wih"], w["enc1_whh"], w["enc1_b"],
-        w.get("ln_scale", jnp.ones((H, 1), jnp.float32)),
-        w.get("ln_bias", jnp.zeros((H, 1), jnp.float32)),
-        w["mu_w"], w["mu_b"],
-        w["z2h_w"], w["z2h_b"],
-        w["dec0_wih"], w["dec0_whh"], w["dec0_b"],
-        w["dec1_wih"], w["dec1_whh"], w["dec1_b"],
-        w["out_w"], w["out_b"],
-    ]
+    weights = []
+    for l in range(num_layers):
+        weights += [w[f"enc{l}_wih"], w[f"enc{l}_whh"], w[f"enc{l}_b"]]
+    if use_layernorm:
+        weights += [w["ln_scale"], w["ln_bias"]]
+    weights += [w["mu_w"], w["mu_b"], w["z2h_w"], w["z2h_b"]]
+    for l in range(num_layers):
+        weights += [w[f"dec{l}_wih"], w[f"dec{l}_whh"], w[f"dec{l}_b"]]
+    weights += [w["out_w"], w["out_b"]]
     weights = [jnp.asarray(x, jnp.float32) for x in weights]
     w_specs = [full(x.shape) for x in weights]
 
-    kernel = functools.partial(_kernel, T=T, H=H, use_layernorm=use_layernorm,
-                               dtype=dtype)
-    resid_t, mse = pl.pallas_call(
+    kernel = functools.partial(_kernel, T=T, H=H, num_layers=num_layers,
+                               use_layernorm=use_layernorm, dtype=dtype)
+    mse_spec = pl.BlockSpec((1, batch_tile), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+    mse_shape = jax.ShapeDtypeStruct((1, Np), jnp.float32)
+    if with_residual:
+        out_specs = (
+            pl.BlockSpec((T, D, batch_tile), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            mse_spec,
+        )
+        out_shape = (jax.ShapeDtypeStruct((T, D, Np), io_dtype), mse_shape)
+    else:
+        out_specs = (mse_spec,)
+        out_shape = (mse_shape,)
+
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[tile_in] + w_specs,
-        out_specs=(
-            pl.BlockSpec((T, D, batch_tile), lambda i: (0, 0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, batch_tile), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((T, D, Np), jnp.float32),
-            jax.ShapeDtypeStruct((1, Np), jnp.float32),
-        ),
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(Zt, *weights)
 
-    resid = jnp.transpose(resid_t, (2, 0, 1))[:N]
+    if with_residual:
+        resid_t, mse = outs
+        resid = jnp.transpose(resid_t, (2, 0, 1))[:N]
+    else:
+        (mse,) = outs
+        resid = None
     return mse[0, :N], resid
 
 

@@ -4,6 +4,7 @@ from shm_tpu.parallel.mesh import (
     replicate,
     make_dp_vae_train_step,
     make_dp_hybrid_fn,
+    make_dp_hybrid_shardmap,
 )
 
 __all__ = [
@@ -12,4 +13,5 @@ __all__ = [
     "replicate",
     "make_dp_vae_train_step",
     "make_dp_hybrid_fn",
+    "make_dp_hybrid_shardmap",
 ]

@@ -96,6 +96,31 @@ def make_dp_hybrid_fn(hybrid_fn, mesh: Mesh, axis: str = "data"):
     return run
 
 
+def make_dp_hybrid_shardmap(vae_model, cnn_model, mesh: Mesh, axis: str = "data",
+                            **hybrid_kwargs):
+    """SPMD hybrid inference via shard_map: each device runs the full
+    gate->attribute pipeline on its batch shard. Unlike jit auto-partitioning,
+    this also works when the VAE pass is a Pallas kernel (``use_fused_vae=True``)
+    — custom calls aren't auto-partitionable, but inside shard_map each device
+    executes its own kernel instance. Deterministic path only (no sampling key).
+    """
+    from shm_tpu.pipeline import make_hybrid_fn
+
+    inner = make_hybrid_fn(vae_model, cnn_model, **hybrid_kwargs)
+
+    def local(vp, cv, W, mean, std, thr):
+        return inner(vp, cv, W, mean, std, thr)
+
+    sm = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis), P(), P(), P()),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    return jax.jit(sm)
+
+
 __all__ = [
     "make_mesh",
     "shard_batch",

@@ -43,7 +43,8 @@ class HybridOutputs(NamedTuple):
 
 
 def make_hybrid_fn(vae_model, cnn_model, *, sample: bool = False,
-                   use_fused_vae: bool = False, fused_dtype=None):
+                   use_fused_vae: bool = False, fused_dtype=None,
+                   fused_interpret: bool = False):
     """Build the jitted fused gate->attribute function.
 
     Returns ``fn(vae_params, cnn_variables, W, mean, std, threshold, key=None)``
@@ -69,6 +70,7 @@ def make_hybrid_fn(vae_model, cnn_model, *, sample: bool = False,
                 num_layers=vae_model.num_layers,
                 use_layernorm=vae_model.use_layernorm,
                 dtype=fused_dtype or vae_model.dtype,
+                interpret=fused_interpret,
             )
             xin = jnp.stack([Z, resid], axis=-1)
         else:

@@ -266,17 +266,35 @@ def reconstruction_mse(
     batch_size: int = 2048,
     sample: bool = False,
     key: Optional[jax.Array] = None,
+    fused: str | bool = "auto",
 ) -> np.ndarray:
     """Per-window full MSE ``((Z - Z_hat)**2).mean(axis=(1, 2))`` in padded batches.
 
     Parity: ``full_mse_scores_batched`` at 4DOF/Scripts/04_vae_thresholding.py:113-124
     (with ``sample=True`` reproducing the reference's stochastic eval; the default
     ``sample=False`` scores the posterior-mean reconstruction).
+
+    ``fused="auto"`` routes deterministic scoring through the gate-only Pallas
+    kernel on TPU (no residual store, whole pass VMEM-resident).
     """
     Z = jnp.asarray(Z)
     N = Z.shape[0]
     if N == 0:
         return np.zeros((0,), np.float32)
+
+    if fused == "auto":
+        # the tunneled TPU platform reports itself as "axon"
+        fused = (not sample and jax.default_backend() in ("tpu", "axon")
+                 and getattr(model, "num_layers", 0) in (1, 2))
+    if fused and not sample:
+        from shm_tpu.ops import fused_vae_gate
+
+        mse, _ = fused_vae_gate(
+            params, Z, num_layers=model.num_layers,
+            use_layernorm=model.use_layernorm, with_residual=False,
+            io_dtype=jnp.bfloat16,
+        )
+        return np.asarray(mse, np.float32)
     nb, pad = _batch_plan(N, batch_size)
     Zp = jnp.concatenate([Z, jnp.zeros((pad,) + Z.shape[1:], Z.dtype)]) if pad else Z
     Zb = Zp.reshape(nb, batch_size, *Z.shape[1:])
