@@ -510,8 +510,13 @@ STAGE2_MODELS: List[Tuple[str, Optional[str]]] = [
     ("ml", "svm_rbf"),
 ]
 
+# tree models whose inference runs on-device (shm_tpu.models.forest_jax);
+# svm_rbf keeps sklearn's (deprecated) libsvm Platt probabilities on host
+DEVICE_ML = {"cart", "rf", "gb", "hgb"}
 
-def cmd_test_hybrid(paths: Paths, cfg: OpenLabConfig, split_name: str = "test") -> None:
+
+def cmd_test_hybrid(paths: Paths, cfg: OpenLabConfig, split_name: str = "test",
+                    host_ml: bool = False) -> None:
     import joblib
 
     Xc, Xr, meta = _load_extracted(paths)
@@ -560,7 +565,19 @@ def cmd_test_hybrid(paths: Paths, cfg: OpenLabConfig, split_name: str = "test") 
             else:
                 mp = paths.ml_dir / "artifacts" / f"{ml_name}.joblib"
                 mdl = joblib.load(mp)
-                prob_st = get_prob_st(mdl, X_feat[anomaly_mask])
+                Xa = X_feat[anomaly_mask]
+                if ml_name in DEVICE_ML and not host_ml:
+                    from shm_tpu.models.forest_jax import (
+                        ensemble_predict_proba, export_ensemble,
+                        transform_features,
+                    )
+
+                    ens = export_ensemble(mdl)
+                    Xd = transform_features(mdl, Xa)
+                    prob_st = np.asarray(ensemble_predict_proba(ens, Xd),
+                                         np.float64)
+                else:
+                    prob_st = get_prob_st(mdl, Xa)
                 thr2 = float(np.load(paths.ml_dir / "artifacts"
                                      / f"{ml_name}_threshold.npy").ravel()[0])
             pred_bin = (prob_st >= thr2).astype(np.int64)
@@ -642,6 +659,9 @@ def main(argv=None) -> None:
     ap.add_argument("--raw-dir", default=None)
     ap.add_argument("--epochs", type=int, default=None)
     ap.add_argument("--split", default=None, choices=[None, "val", "test"])
+    ap.add_argument("--host-ml", action="store_true",
+                    help="force sklearn host inference for tree models in "
+                         "test-hybrid (default: on-device)")
     args = ap.parse_args(argv)
 
     raw_dir = args.raw_dir or default_openlab_raw_dir()
@@ -658,7 +678,8 @@ def main(argv=None) -> None:
         "validate-cnn": lambda: cmd_validate_cnn(paths, cfg, args.split or "val"),
         "train-ml": lambda: cmd_train_ml(paths, cfg),
         "validate-ml": lambda: cmd_validate_ml(paths, cfg, args.split or "val"),
-        "test-hybrid": lambda: cmd_test_hybrid(paths, cfg, args.split or "test"),
+        "test-hybrid": lambda: cmd_test_hybrid(paths, cfg, args.split or "test",
+                                               host_ml=args.host_ml),
         "plots": lambda: cmd_plots(paths, cfg),
     }
     if args.command == "all":
