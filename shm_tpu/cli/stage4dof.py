@@ -156,19 +156,35 @@ def cmd_gen_faults(paths: Paths, cfg: Stage4DofConfig, plot: bool = True) -> Non
     rel = {"noise": f.noise_rel_mag, "spikes": f.spikes_rel_mag,
            "drift": f.drift_rel_mag, "bias": f.bias_rel_mag}
     nominal_j = jnp.asarray(nominal)
+    sensor_runs = {}
     for i, (name, kind, dof, _) in enumerate(SENSOR_FAULT_CASES):
         out = np.asarray(inject_sensor_fault_triplet(
             jax.random.fold_in(key, i), nominal_j, kind, dof, rel[kind],
             spikes_freq=f.spikes_freq))
+        sensor_runs[name] = out
         _write_run_csv(out, paths.raw_sensor / name / f"{name}.csv")
         print(f"[OK] sensor fault saved: {name} (target=x{dof})")
 
     if plot:
-        from shm_tpu.report import plot_stacked_channels
+        # normal-vs-fault displacement overlays, one per case
+        # (02_generate_fault_datasets.py stacked comparison figures)
+        from shm_tpu.report import plot_reconstruction_overlay
         t = np.arange(nominal.shape[0]) * cfg.system.dt
-        plot_stacked_channels(
-            t, {f"x{j+1} [m]": nominal[:, j] for j in range(4)},
-            paths.figures / "faults", "nominal_run_displacement_stacked")
+        for scale, run in zip(scales[1:], runs[1:]):
+            label = f"stiff_red_{int(round((1.0 - scale) * 100))}pct"
+            plot_reconstruction_overlay(
+                t, {f"x{j+1} [m]": nominal[:, j] for j in range(4)},
+                {f"x{j+1} [m]": run[:, j] for j in range(4)},
+                paths.figures / "faults" / "structural_fault" / label,
+                f"{label}_normal_vs_structural_fault_displacement_stacked",
+                labels=("Normal", "Structural fault"))
+        for name, run in sensor_runs.items():
+            plot_reconstruction_overlay(
+                t, {f"x{j+1} [m]": nominal[:, j] for j in range(4)},
+                {f"x{j+1} [m]": run[:, j] for j in range(4)},
+                paths.figures / "faults" / "sensor_fault" / name,
+                f"{name}_normal_vs_sensor_fault_displacement_stacked",
+                labels=("Normal", "Sensor fault"))
 
 
 # ---------------------------------------------------------------------------

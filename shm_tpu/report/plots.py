@@ -80,15 +80,17 @@ def plot_stacked_channels(t: np.ndarray, channels: Dict[str, np.ndarray], out_di
 
 def plot_reconstruction_overlay(t: np.ndarray, measured: Dict[str, np.ndarray],
                                 recon: Dict[str, np.ndarray], out_dir,
-                                file_stem: str) -> None:
-    """Measured vs reconstructed stacked panels (1_DOF/04_test_seen:176-231)."""
+                                file_stem: str, labels=("Measured", "Reconstructed")
+                                ) -> None:
+    """Two-series stacked overlay panels (1_DOF/04_test_seen:176-231; also used
+    for the normal-vs-fault comparison figures)."""
     n = len(measured)
     fig, axes = plt.subplots(n, 1, figsize=(9, 1.9 * n), sharex=True)
     if n == 1:
         axes = [axes]
     for ax, name in zip(axes, measured):
-        ax.plot(t, measured[name], linewidth=1.0, label="Measured")
-        ax.plot(t, recon[name], linewidth=1.0, linestyle="--", label="Reconstructed")
+        ax.plot(t, measured[name], linewidth=1.0, label=labels[0])
+        ax.plot(t, recon[name], linewidth=1.0, linestyle="--", label=labels[1])
         configure_axis(ax, "", name)
     axes[-1].set_xlabel("Time [s]", fontsize=16)
     axes[0].legend(frameon=False, fontsize=11, ncol=2)

@@ -222,18 +222,21 @@ def train_cnn(
         root, ke = jax.random.split(root)
         params, batch_stats, opt_state, tl = train_epoch(params, batch_stats, opt_state, ke)
         vl, vprobs = val_epoch(params, batch_stats)
-        vl_f = float(vl)
-        metric = (val_metric_fn(np.asarray(vprobs), np.asarray(yva))
+        # one host fetch per epoch (RPC round trips are expensive on the
+        # tunneled TPU platform)
+        tl, vl_f, vprobs_h = jax.device_get((tl, vl, vprobs))
+        tl, vl_f = float(tl), float(vl_f)
+        metric = (val_metric_fn(np.asarray(vprobs_h), np.asarray(yva))
                   if val_metric_fn is not None else None)
 
         hist["epoch"].append(epoch)
-        hist["train_loss"].append(float(tl))
+        hist["train_loss"].append(tl)
         hist["val_loss"].append(vl_f)
         hist["val_metric"].append(metric)
 
         if log_every and epoch % log_every == 0:
             m = f" | metric={metric:.4f}" if metric is not None else ""
-            print(f"[cnn] epoch {epoch:03d}/{cfg.epochs} | train={float(tl):.6f} "
+            print(f"[cnn] epoch {epoch:03d}/{cfg.epochs} | train={tl:.6f} "
                   f"| val={vl_f:.6f}{m}")
 
         improved = (metric > best_metric) if val_metric_fn is not None else (vl_f < best_val)

@@ -218,20 +218,22 @@ def train_vae(
         root, ke, kv = jax.random.split(root, 3)
         params, opt_state, tl, rl, kl = train_epoch(params, opt_state, ke, kl_w)
         vl, vr, vkl = val_epoch(params, kv, kl_w)
-        vl_f = float(vl)
+        # ONE host fetch per epoch (each separate float() costs a full RPC
+        # round trip on the tunneled TPU platform)
+        tl, rl, kl, vl_f, vr, vkl = map(float, jax.device_get((tl, rl, kl, vl, vr, vkl)))
 
         hist["epoch"].append(epoch)
         hist["kl_w"].append(float(kl_w))
-        hist["train_total"].append(float(tl))
-        hist["train_recon"].append(float(rl))
-        hist["train_kl"].append(float(kl))
+        hist["train_total"].append(tl)
+        hist["train_recon"].append(rl)
+        hist["train_kl"].append(kl)
         hist["val_total"].append(vl_f)
-        hist["val_recon"].append(float(vr))
-        hist["val_kl"].append(float(vkl))
+        hist["val_recon"].append(vr)
+        hist["val_kl"].append(vkl)
 
         if log_every and epoch % log_every == 0:
             print(f"[train] epoch {epoch:03d}/{cfg.epochs} | kl_w={float(kl_w):.6f} | "
-                  f"total={float(tl):.6f} | recon={float(rl):.6f} | kl={float(kl):.6f}")
+                  f"total={tl:.6f} | recon={rl:.6f} | kl={kl:.6f}")
             print(f"[val  ] epoch {epoch:03d}/{cfg.epochs} | total={vl_f:.6f}")
 
         if vl_f < best_val:
