@@ -110,8 +110,10 @@ def train_cnn(
     opt_state = tx.init(params)
     use_focal = loss == "focal"
 
+    # window stacks are explicit arguments (jit closure constants re-stage per
+    # call on this platform — see train/vae.py)
     @jax.jit
-    def train_epoch(params, batch_stats, opt_state, key):
+    def train_epoch(params, batch_stats, opt_state, Xtr, ytr, key):
         kperm, kbatch = jax.random.split(key)
         if weights is None:
             perm = jax.random.permutation(kperm, N)
@@ -158,7 +160,7 @@ def train_cnn(
     nvb, vpad = _batch_plan(Xva.shape[0], bs)
 
     @jax.jit
-    def val_epoch(params, batch_stats):
+    def val_epoch(params, batch_stats, Xva, yva_j):
         Nv = Xva.shape[0]
         idx = jnp.arange(Nv)
         idx = jnp.concatenate([idx, jnp.zeros((vpad,), idx.dtype)]) if vpad else idx
@@ -220,8 +222,9 @@ def train_cnn(
 
     for epoch in range(start_epoch, cfg.epochs + 1):
         root, ke = jax.random.split(root)
-        params, batch_stats, opt_state, tl = train_epoch(params, batch_stats, opt_state, ke)
-        vl, vprobs = val_epoch(params, batch_stats)
+        params, batch_stats, opt_state, tl = train_epoch(
+            params, batch_stats, opt_state, Xtr, ytr, ke)
+        vl, vprobs = val_epoch(params, batch_stats, Xva, yva_j)
         # one host fetch per epoch (RPC round trips are expensive on the
         # tunneled TPU platform)
         tl, vl_f, vprobs_h = jax.device_get((tl, vl, vprobs))

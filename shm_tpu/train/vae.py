@@ -92,8 +92,16 @@ def train_vae(
     checkpoint_dir: Optional[str] = None,
     checkpoint_every: int = 0,
     resume: bool = True,
+    fused_epochs: Optional[bool] = None,
 ) -> VAETrainResult:
     """Train a TemporalVAE on normalized windows; returns best-val params + history.
+
+    ``fused_epochs=True``: run the WHOLE multi-epoch training as one jitted
+    ``lax.scan`` over epochs, with best-val selection on device — one dispatch
+    + one host fetch for the entire run. Produces bit-identical trajectories to
+    the default epoch loop (same precomputed per-epoch keys). Off by default:
+    on v5e the epoch compute dominates, so this mainly trades compile time for
+    removing per-epoch dispatch latency.
 
     ``Ztr``/``Zva``: (N, T, D) normalized window stacks (already on device or host).
 
@@ -119,9 +127,11 @@ def train_vae(
     params = init_params
     opt_state = tx.init(params)
 
-    # --- jitted one-epoch train scan ---
-    @jax.jit
-    def train_epoch(params, opt_state, key, kl_w):
+    # --- one-epoch train scan (pure; jitted directly or inside the fused run) ---
+    # NOTE: the window stacks are explicit ARGUMENTS, not closures — jit embeds
+    # closed-over arrays as program constants, which on this platform re-stages
+    # them per call and inflates compile time (measured ~10x epoch slowdown).
+    def train_epoch_core(params, opt_state, Ztr, key, kl_w):
         kperm, kbatch = jax.random.split(key)
         perm = jax.random.permutation(kperm, N)
         idx = jnp.concatenate([perm, perm[: pad]]) if pad else perm
@@ -156,8 +166,7 @@ def train_vae(
         denom = jnp.maximum(ns.sum(), 1.0)
         return params, opt_state, tl.sum() / denom, rl.sum() / denom, kll.sum() / denom
 
-    @jax.jit
-    def val_epoch(params, key, kl_w):
+    def val_epoch_core(params, Zva, key, kl_w):
         Nv = Zva.shape[0]
         idx = jnp.arange(Nv)
         idx = jnp.concatenate([idx, jnp.zeros((vpad,), idx.dtype)]) if vpad else idx
@@ -181,6 +190,76 @@ def train_vae(
         _, (tl, rl, kll, ns) = jax.lax.scan(body, None, (idx, mask, bkeys))
         denom = jnp.maximum(ns.sum(), 1.0)
         return tl.sum() / denom, rl.sum() / denom, kll.sum() / denom
+
+    # ----- fused-epochs fast path: the ENTIRE training run is one device
+    # program (scan over epochs; best-val selection on device) — one dispatch,
+    # one host fetch. Used when nothing needs per-epoch host control (no
+    # mid-training checkpointing). -----
+    if fused_epochs is None:
+        # measured on v5e: per-epoch compute (~0.65s) dominates, so fusing the
+        # epoch loop into one program saves no runtime while multiplying compile
+        # cost — opt-in only.
+        fused_epochs = False
+    # per-epoch keys are derived identically in BOTH paths (all from the initial
+    # root), so a fused run, a loop run, and a checkpointed/resumed run produce
+    # bit-identical training trajectories.
+    E = cfg.epochs
+    epoch_keys = jax.random.split(root, 2 * E).reshape(E, 2, 2)
+    if fused_epochs and checkpoint_dir is None:
+        kl_ws = jnp.asarray([
+            kl_anneal_sigmoid(e, E, cfg.kl_warmup_ratio) for e in range(1, E + 1)
+        ], jnp.float32)
+        keys = epoch_keys
+
+        @jax.jit
+        def run_all(params, opt_state, Ztr, Zva, kl_ws, keys):
+            def epoch_body(carry, inp):
+                p, s, best_val, best_p, best_e = carry
+                kl_w, ks, e_idx = inp
+                p, s, tl, rl, kl = train_epoch_core(p, s, Ztr, ks[0], kl_w)
+                vl, vr, vkl = val_epoch_core(p, Zva, ks[1], kl_w)
+                improved = vl < best_val
+                best_val = jnp.where(improved, vl, best_val)
+                best_e = jnp.where(improved, e_idx, best_e)
+                best_p = jax.tree.map(
+                    lambda b, q: jnp.where(improved, q, b), best_p, p)
+                return (p, s, best_val, best_p, best_e), (tl, rl, kl, vl, vr, vkl)
+
+            init = (params, opt_state, jnp.float32(jnp.inf), params, jnp.int32(-1))
+            carry, stats = jax.lax.scan(
+                epoch_body, init,
+                (kl_ws, keys, jnp.arange(1, E + 1, dtype=jnp.int32)))
+            return carry, stats
+
+        t0 = time.perf_counter()
+        (params, opt_state, best_val_d, best_params, best_epoch_d), stats = run_all(
+            params, opt_state, Ztr, Zva, kl_ws, keys)
+        stats_h = jax.device_get(stats)
+        best_val = float(jax.device_get(best_val_d))
+        best_epoch = int(jax.device_get(best_epoch_d))
+        seconds = time.perf_counter() - t0
+
+        tl, rl, kl, vl, vr, vkl = [np.asarray(s, np.float64) for s in stats_h]
+        hist = {
+            "epoch": list(range(1, E + 1)),
+            "kl_w": [float(x) for x in np.asarray(kl_ws)],
+            "train_total": tl.tolist(), "train_recon": rl.tolist(),
+            "train_kl": kl.tolist(),
+            "val_total": vl.tolist(), "val_recon": vr.tolist(),
+            "val_kl": vkl.tolist(),
+        }
+        if log_every:
+            for e in range(0, E, log_every):
+                print(f"[train] epoch {e + 1:03d}/{E} | kl_w={hist['kl_w'][e]:.6f} "
+                      f"| total={tl[e]:.6f} | recon={rl[e]:.6f} | kl={kl[e]:.6f}")
+                print(f"[val  ] epoch {e + 1:03d}/{E} | total={vl[e]:.6f}")
+        return VAETrainResult(
+            params=best_params, last_params=params, history=hist,
+            best_val=best_val, best_epoch=best_epoch, seconds=seconds,
+        )
+
+    train_epoch = jax.jit(train_epoch_core)
+    val_epoch = jax.jit(val_epoch_core)
 
     hist: Dict[str, list] = {k: [] for k in (
         "epoch", "kl_w", "train_total", "train_recon", "train_kl",
@@ -215,9 +294,9 @@ def train_vae(
 
     for epoch in range(start_epoch, cfg.epochs + 1):
         kl_w = jnp.float32(kl_anneal_sigmoid(epoch, cfg.epochs, cfg.kl_warmup_ratio))
-        root, ke, kv = jax.random.split(root, 3)
-        params, opt_state, tl, rl, kl = train_epoch(params, opt_state, ke, kl_w)
-        vl, vr, vkl = val_epoch(params, kv, kl_w)
+        ke, kv = epoch_keys[epoch - 1][0], epoch_keys[epoch - 1][1]
+        params, opt_state, tl, rl, kl = train_epoch(params, opt_state, Ztr, ke, kl_w)
+        vl, vr, vkl = val_epoch(params, Zva, kv, kl_w)
         # ONE host fetch per epoch (each separate float() costs a full RPC
         # round trip on the tunneled TPU platform)
         tl, rl, kl, vl_f, vr, vkl = map(float, jax.device_get((tl, rl, kl, vl, vr, vkl)))

@@ -1,0 +1,31 @@
+"""Fused-epochs training path produces bit-identical results to the epoch loop."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from shm_tpu.config import TrainConfig, VAEConfig
+from shm_tpu.models import vae_from_config
+from shm_tpu.train import train_vae
+
+
+def test_fused_epochs_matches_loop():
+    rng = np.random.default_rng(0)
+    t = np.linspace(0, 8 * np.pi, 400)
+    X = np.stack([np.sin(t + p) for p in rng.uniform(0, 2 * np.pi, 4)], axis=1)
+    from shm_tpu.data import make_windows
+    W = np.asarray(make_windows(jnp.asarray(X.astype(np.float32)), 30, 2))
+
+    model = vae_from_config(VAEConfig(4, 3, 16, 1, 0.0))
+    cfg = TrainConfig(epochs=5, batch_size=32, lr=1e-3, weight_decay=1e-5,
+                      grad_clip=2.0, seed=0)
+    loop = train_vae(model, W, W[:32], cfg, fused_epochs=False)
+    fused = train_vae(model, W, W[:32], cfg, fused_epochs=True)
+
+    np.testing.assert_allclose(loop.history["train_total"],
+                               fused.history["train_total"], rtol=1e-6)
+    np.testing.assert_allclose(loop.history["val_total"],
+                               fused.history["val_total"], rtol=1e-6)
+    assert loop.best_epoch == fused.best_epoch
+    for a, b in zip(jax.tree.leaves(loop.params), jax.tree.leaves(fused.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
