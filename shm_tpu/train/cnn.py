@@ -111,9 +111,11 @@ def train_cnn(
     use_focal = loss == "focal"
 
     # window stacks are explicit arguments (jit closure constants re-stage per
-    # call on this platform — see train/vae.py)
+    # call on this platform), and the epoch dispatches one jitted step per batch
+    # — a lax.scan carrying the (params, batch_stats, opt_state) pytree runs ~5x
+    # slower on v5e (every carry buffer is copied per iteration); see train/vae.py.
     @jax.jit
-    def train_epoch(params, batch_stats, opt_state, Xtr, ytr, key):
+    def epoch_prologue(key):
         kperm, kbatch = jax.random.split(key)
         if weights is None:
             perm = jax.random.permutation(kperm, N)
@@ -125,37 +127,39 @@ def train_cnn(
             # proportional to weights each epoch (Codes/06_train_cnn.py:379-392)
             idx = jax.random.choice(kperm, N, (nb * bs,), replace=True, p=weights)
             mask = jnp.ones((nb * bs,), jnp.float32)
-        idx = idx.reshape(nb, bs)
-        mask = mask.reshape(nb, bs)
-        bkeys = jax.random.split(kbatch, nb)
+        return idx.reshape(nb, bs), mask.reshape(nb, bs), jax.random.split(kbatch, nb)
 
-        def body(carry, inp):
-            p, bst, s = carry
-            bidx, bmask, bk = inp
-            xb, yb = Xtr[bidx], ytr[bidx]
+    @jax.jit
+    def batch_step(params, batch_stats, opt_state, Xtr, ytr, bidx, bmask, bk):
+        xb, yb = Xtr[bidx], ytr[bidx]
 
-            def loss_fn(pp):
-                out, mut = model.apply(
-                    {"params": pp, "batch_stats": bst}, xb, train=True,
-                    rngs={"dropout": bk}, mutable=["batch_stats"],
-                )
-                if use_focal:
-                    per = weighted_focal_loss(out, yb, alpha, focal_gamma)
-                else:
-                    per = cross_entropy_loss(out, yb)
-                l = jnp.sum(per * bmask) / jnp.maximum(bmask.sum(), 1.0)
-                return l, mut["batch_stats"]
+        def loss_fn(pp):
+            out, mut = model.apply(
+                {"params": pp, "batch_stats": batch_stats}, xb, train=True,
+                rngs={"dropout": bk}, mutable=["batch_stats"],
+            )
+            if use_focal:
+                per = weighted_focal_loss(out, yb, alpha, focal_gamma)
+            else:
+                per = cross_entropy_loss(out, yb)
+            l = jnp.sum(per * bmask) / jnp.maximum(bmask.sum(), 1.0)
+            return l, mut["batch_stats"]
 
-            (l, new_bst), grads = jax.value_and_grad(loss_fn, has_aux=True)(p)
-            updates, s = tx.update(grads, s, p)
-            p = optax.apply_updates(p, updates)
-            n = bmask.sum()
-            return (p, new_bst, s), (l * n, n)
+        (l, new_bst), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, new_bst, opt_state, l * bmask.sum(), bmask.sum()
 
-        (params, batch_stats, opt_state), (ls, ns) = jax.lax.scan(
-            body, (params, batch_stats, opt_state), (idx, mask, bkeys)
-        )
-        return params, batch_stats, opt_state, ls.sum() / jnp.maximum(ns.sum(), 1.0)
+    def train_epoch(params, batch_stats, opt_state, Xtr, ytr, key):
+        idx, mask, bkeys = epoch_prologue(key)
+        ls, ns = [], []
+        for b in range(nb):
+            params, batch_stats, opt_state, l, n = batch_step(
+                params, batch_stats, opt_state, Xtr, ytr, idx[b], mask[b], bkeys[b])
+            ls.append(l)
+            ns.append(n)
+        return (params, batch_stats, opt_state,
+                jnp.stack(ls).sum() / jnp.maximum(jnp.stack(ns).sum(), 1.0))
 
     nvb, vpad = _batch_plan(Xva.shape[0], bs)
 
