@@ -1,3 +1,14 @@
 from shm_tpu.ops.fused_vae import fused_vae_gate, vae_params_to_kernel_weights
+from shm_tpu.ops.lstm_train import (
+    lstm2_scan,
+    lstm2_scan_reference,
+    vae_train_forward,
+)
 
-__all__ = ["fused_vae_gate", "vae_params_to_kernel_weights"]
+__all__ = [
+    "fused_vae_gate",
+    "vae_params_to_kernel_weights",
+    "lstm2_scan",
+    "lstm2_scan_reference",
+    "vae_train_forward",
+]

@@ -127,3 +127,12 @@ def test_slice_frac_semantics():
     te = slice_frac(x, (0.7, 1.0))
     assert tr.shape[0] == 400 and va.shape[0] == 300 and te.shape[0] == 301
     assert tr[0, 0] == 0 and va[0, 0] == 400 and te[0, 0] == 700
+
+
+def test_windows_from_series_batch(rng):
+    from shm_tpu.data.windows import windows_from_series_batch
+    X = rng.normal(size=(3, 120, 4)).astype(np.float32)
+    W = np.asarray(windows_from_series_batch(jnp.asarray(X), 50, 10))
+    assert W.shape == (3, 8, 50, 4)
+    for r in range(3):
+        np.testing.assert_array_equal(W[r], ref_make_windows(X[r], 50, 10))
