@@ -3,6 +3,7 @@ from shm_tpu.parallel.mesh import (
     shard_batch,
     replicate,
     make_dp_vae_train_step,
+    make_dp_cnn_train_step,
     make_dp_hybrid_fn,
     make_dp_hybrid_shardmap,
 )
@@ -12,6 +13,7 @@ __all__ = [
     "shard_batch",
     "replicate",
     "make_dp_vae_train_step",
+    "make_dp_cnn_train_step",
     "make_dp_hybrid_fn",
     "make_dp_hybrid_shardmap",
 ]

@@ -85,6 +85,47 @@ def make_dp_vae_train_step(model, tx: optax.GradientTransformation, mesh: Mesh,
     return jax.jit(step)
 
 
+def make_dp_cnn_train_step(model, tx: optax.GradientTransformation, mesh: Mesh,
+                           axis: str = "data", loss: str = "ce",
+                           focal_gamma: float = 2.0, alpha=None):
+    """Data-parallel CNN train step: per-shard grads + BatchNorm batch-stats,
+    both pmean'd over the data axis inside shard_map."""
+    from shm_tpu.train.cnn import cross_entropy_loss, weighted_focal_loss
+
+    use_focal = loss == "focal"
+    alpha_arr = jnp.asarray(alpha if alpha is not None
+                            else np.ones(model.num_classes), jnp.float32)
+
+    def local_step(params, batch_stats, opt_state, xb, yb, key):
+        bk = jax.random.fold_in(key, jax.lax.axis_index(axis))
+
+        def loss_fn(p):
+            out, mut = model.apply(
+                {"params": p, "batch_stats": batch_stats}, xb, train=True,
+                rngs={"dropout": bk}, mutable=["batch_stats"],
+            )
+            per = (weighted_focal_loss(out, yb, alpha_arr, focal_gamma)
+                   if use_focal else cross_entropy_loss(out, yb))
+            return per.mean(), mut["batch_stats"]
+
+        (l, new_bst), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        grads = jax.lax.pmean(grads, axis)
+        new_bst = jax.lax.pmean(new_bst, axis)
+        l = jax.lax.pmean(l, axis)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, new_bst, opt_state, l
+
+    step = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(axis), P(axis), P()),
+        out_specs=(P(), P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(step)
+
+
 def make_dp_hybrid_fn(hybrid_fn, mesh: Mesh, axis: str = "data"):
     """Data-parallel wrapper for the fused hybrid pipeline: shard the window
     batch, replicate everything else. No collectives — outputs stay sharded."""

@@ -42,6 +42,22 @@ def test_fused_vae_pads_ragged_batch(setup):
     np.testing.assert_allclose(np.asarray(mse), mse_ref, atol=2e-6)
 
 
+def test_fused_vae_openlab_preset_one_layer():
+    """openLAB preset: 1 layer, hidden 64 — the gate-only path used by
+    cli/openlab validate-vae + test-hybrid on TPU."""
+    cfg = VAEConfig(3, 8, 64, 1, 0.2, use_layernorm=True)
+    model = vae_from_config(cfg)
+    Z = jax.random.normal(jax.random.PRNGKey(5), (64, 200, 3))
+    params = model.init({"params": jax.random.PRNGKey(6)}, Z[:2])["params"]
+    recon, _, _ = model.apply({"params": params}, Z)
+    mse_ref = np.asarray(((Z - recon) ** 2).mean(axis=(1, 2)))
+    mse, resid = fused_vae_gate(params, Z, num_layers=1, dtype=jnp.float32,
+                                interpret=True, batch_tile=32,
+                                with_residual=False)
+    assert resid is None
+    np.testing.assert_allclose(np.asarray(mse), mse_ref, atol=2e-6)
+
+
 def test_fused_vae_no_layernorm():
     cfg = VAEConfig(4, 3, 16, 2, 0.0, use_layernorm=False)
     model = vae_from_config(cfg)

@@ -56,3 +56,31 @@ def test_replicate_places_on_all_devices(setup):
     rp = replicate(vp, mesh)
     leaf = jax.tree.leaves(rp)[0]
     assert len(leaf.sharding.device_set) == 8
+
+
+def test_dp_cnn_train_step_runs_and_improves():
+    from shm_tpu.config import TrainConfig
+    from shm_tpu.parallel import make_dp_cnn_train_step, make_mesh, replicate, shard_batch
+    from shm_tpu.train.vae import make_optimizer
+
+    mesh = make_mesh(8)
+    cnn = CNN4DOF()
+    rng = np.random.default_rng(0)
+    X = rng.normal(size=(64, 100, 12, 2)).astype(np.float32) * 0.3
+    y = rng.integers(0, 2, 64).astype(np.int32)
+    X[y == 1, :, :, 1] += 2.0
+    variables = cnn.init({"params": jax.random.PRNGKey(0)}, jnp.asarray(X[:2]),
+                         train=False)
+    tx = make_optimizer(TrainConfig(batch_size=64, lr=1e-3, weight_decay=0.0,
+                                    grad_clip=0.0))
+    params = replicate(variables["params"], mesh)
+    bst = replicate(variables["batch_stats"], mesh)
+    opt_state = replicate(tx.init(variables["params"]), mesh)
+    Xd, yd = shard_batch(X, mesh), shard_batch(y, mesh)
+    step = make_dp_cnn_train_step(cnn, tx, mesh)
+    losses = []
+    for i in range(8):
+        params, bst, opt_state, l = step(params, bst, opt_state, Xd, yd,
+                                         jax.random.PRNGKey(i))
+        losses.append(float(l))
+    assert losses[-1] < losses[0]
