@@ -114,9 +114,7 @@ def bench_torch_cpu(W: np.ndarray, n_sub: int = 1088) -> float:
     thr = 1.2814
     BATCH = 512
 
-    with torch.no_grad():
-        # warmup
-        vae(X[:BATCH])
+    def one_pass() -> float:
         t0 = time.perf_counter()
         # pass 1: gate scores (06_test_full_pipeline.py:339-344)
         mses = []
@@ -135,8 +133,12 @@ def bench_torch_cpu(W: np.ndarray, n_sub: int = 1088) -> float:
             xh, _, _ = vae(xb)
             xin = torch.stack([xb, (xb - xh) ** 2], dim=1)
             cnn(xin).argmax(dim=1)
-        dt = time.perf_counter() - t0
-    return n_sub / dt
+        return time.perf_counter() - t0
+
+    with torch.no_grad():
+        vae(X[:BATCH])                # warmup
+        dts = sorted(one_pass() for _ in range(3))
+    return n_sub / dts[1]             # median of 3 (CPU-load robustness)
 
 
 def main() -> None:
