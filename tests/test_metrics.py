@@ -148,3 +148,15 @@ def test_tune_threshold_fallback_when_unreachable():
     t_ref, fb_ref = ref_tune_st_first(p, y)
     assert out["used_fallback"] == fb_ref
     assert out["t"] == pytest.approx(t_ref)
+
+
+def test_classification_report_dict_matches_sklearn(data):
+    from shm_tpu.evals import classification_report_dict
+    y, yhat = data
+    ours = classification_report_dict(y, yhat, ["A", "B", "C"])
+    ref = sklearn_metrics.classification_report(
+        y, yhat, target_names=["A", "B", "C"], output_dict=True, zero_division=0)
+    for cls in ("A", "B", "C", "macro avg", "weighted avg"):
+        for k in ("precision", "recall", "f1-score", "support"):
+            assert ours[cls][k] == pytest.approx(ref[cls][k]), (cls, k)
+    assert ours["accuracy"]["accuracy"] == pytest.approx(ref["accuracy"])
