@@ -11,9 +11,14 @@ Optimizer-semantics notes (to match torch):
 - torch ``Adam(weight_decay=w)`` adds ``w * p`` to the (already clipped) gradient
   before the moment updates -> ``clip_by_global_norm -> add_decayed_weights ->
   scale_by_adam -> scale(-lr)``.
-- the whole epoch — shuffle, batching (with a masked ragged tail instead of
-  drop_last), forward/backward, optimizer — is ONE jitted ``lax.scan`` over
-  batches, so an epoch is a single device dispatch.
+
+Execution structure (v5e-measured): the epoch loop dispatches one jitted step
+per batch (a ``lax.scan`` carrying the param/optimizer pytree is ~5x slower —
+every carry buffer is copied per iteration); shuffling/batching/ragged-tail
+masking happen in a jitted prologue. ``fused_epochs=True`` packs the whole
+multi-epoch run into one device program (bit-identical trajectory), and
+``use_pallas_kernel=True`` swaps the forward/backward onto the custom-VJP
+fused LSTM kernels (shm_tpu.ops.lstm_train).
 """
 
 from __future__ import annotations
