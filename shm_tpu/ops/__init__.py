@@ -1,6 +1,7 @@
 from shm_tpu.ops.fused_vae import fused_vae_gate, vae_params_to_kernel_weights
 from shm_tpu.ops.lstm_train import (
-    lstm2_scan,
+    lstm2_enc_last,
+    lstm2_dec_head,
     lstm2_scan_reference,
     vae_train_forward,
 )
@@ -8,7 +9,8 @@ from shm_tpu.ops.lstm_train import (
 __all__ = [
     "fused_vae_gate",
     "vae_params_to_kernel_weights",
-    "lstm2_scan",
+    "lstm2_enc_last",
+    "lstm2_dec_head",
     "lstm2_scan_reference",
     "vae_train_forward",
 ]

@@ -1,22 +1,36 @@
-"""Pallas TPU custom-VJP op: fused two-layer LSTM scan for TRAINING.
+"""Pallas TPU custom-VJP ops: fused two-layer LSTM scans for TRAINING.
 
 XLA's autodiff of a stacked-LSTM `lax.scan` issues many small sequential
 matmuls per timestep with HBM-visible carries in both directions. This module
-provides ``lstm2_scan`` — the two-layer LSTM sequence scan (the only part XLA
-handles poorly) as a pair of Pallas kernels with a hand-written backward:
+provides the VAE training forward as two specialized Pallas op pairs with
+hand-written backwards:
 
-- **forward** (grid = (batch_tiles, T), time minor): both layers advance inside
-  one kernel step; recurrent state lives in VMEM scratch across the whole scan;
-  the per-step activation stash (post-activation gates, tanh(c), c_{t-1},
-  h_{t-1}, h_layer0) streams to HBM through the normal Pallas output pipeline.
-- **backward** (same grid, time-reversed index maps): consumes the stash in
-  reverse, carries (dh, dc) per layer in VMEM scratch, accumulates ALL weight
-  gradients in VMEM output blocks (constant index map -> resident across the
-  grid, stored once), and emits d(input sequence) per step.
+- ``lstm2_enc_last``: the encoder scan. Returns ONLY the last hidden state
+  (the VAE consumes nothing else — 4DOF/Scripts/Models/temporal_vae.py:51-56),
+  so the [T, H, B] per-step output stream of a generic scan is never
+  materialized.
+- ``lstm2_dec_head``: the decoder scan. The decoder input is CONSTANT across
+  time (tanh(W z) repeated T times, temporal_vae.py:67-68), so the op takes
+  the [H, B] projection directly — no broadcast input stream — and folds the
+  output head, writing recon [T, D, B] (D << H) instead of hidden states.
 
-Everything around the scan — LayerNorm, latent heads, reparameterization,
-dropout-mask application at the boundary, the decoder output head, the loss —
-is plain JAX, so ``jax.grad`` composes through this op automatically.
+Memory design (the round-2 rework; round 1 streamed a 15H-row activation
+stash at one timestep per grid step, which was pipeline-latency-bound):
+
+- the stash is MINIMAL: per step only the pre-step recurrent state
+  (h0, c0, h1, c1) = 4H rows, f32. Gates and tanh(c) are RECOMPUTED in the
+  backward from the stashed states — bit-exact, because the recompute runs
+  the identical matmuls/activations in the identical dtype.
+- time is chunked: grid = (batch_tiles, T/Tc) with Tc steps per kernel
+  invocation (VMEM-budgeted, Tc=5 at H=128/Bt=256), amortizing the per-grid-
+  step pipeline overhead that dominated the round-1 kernel.
+- the backward carries the "state after step t" across its reverse scan in
+  VMEM scratch, so each stash row is read exactly once and no chunk-boundary
+  re-reads are needed; weight gradients accumulate in resident VMEM output
+  blocks (constant index maps).
+
+Everything around the scans — LayerNorm, latent heads, reparameterization,
+the loss — is plain JAX, so ``jax.grad`` composes through these ops.
 
 Layout matches ops/fused_vae.py: transposed, batch in lanes; weights [out, in];
 inter-layer dropout as an explicit [T, H, B] inverted mask (testable RNG).
@@ -38,22 +52,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 F32 = jnp.float32
 
-# stash row sections (x H rows each unless noted): layer0 gates (4H), tanh(c0),
-# c0_prev, h0_prev, h0_cur; layer1 gates (4H), tanh(c1), c1_prev, h1_prev
-# => 15H rows per step
-_SECTS = ("g0", "tc0", "cp0", "hp0", "h0", "g1", "tc1", "cp1", "hp1")
-_ROWS = {"g0": 4, "tc0": 1, "cp0": 1, "hp0": 1, "h0": 1,
-         "g1": 4, "tc1": 1, "cp1": 1, "hp1": 1}
-
-
-def _offsets(H: int):
-    off = {}
-    o = 0
-    for name in _SECTS:
-        off[name] = (o, o + _ROWS[name] * H)
-        o += _ROWS[name] * H
-    return off, o
-
 
 def _cell_fwd(h, c, gates, H):
     i = jax.nn.sigmoid(gates[0 * H:1 * H])
@@ -61,16 +59,18 @@ def _cell_fwd(h, c, gates, H):
     g = jnp.tanh(gates[2 * H:3 * H])
     o = jax.nn.sigmoid(gates[3 * H:4 * H])
     c_new = f * c + i * g
-    tc = jnp.tanh(c_new)
-    h_new = o * tc
-    return h_new, c_new, jnp.concatenate([i, f, g, o], axis=0), tc
+    h_new = o * jnp.tanh(c_new)
+    return h_new, c_new
 
 
-def _cell_bwd(dh, dc_in, gates, tc, c_prev, H):
-    i = gates[0 * H:1 * H]
-    f = gates[1 * H:2 * H]
-    g = gates[2 * H:3 * H]
-    o = gates[3 * H:4 * H]
+def _cell_bwd(dh, dc_in, g_pre, c_aft, c_prev, H):
+    """Backward through one LSTM cell, recomputing activations from the
+    pre-activation gates ``g_pre`` and the stashed cell states."""
+    i = jax.nn.sigmoid(g_pre[0 * H:1 * H])
+    f = jax.nn.sigmoid(g_pre[1 * H:2 * H])
+    g = jnp.tanh(g_pre[2 * H:3 * H])
+    o = jax.nn.sigmoid(g_pre[3 * H:4 * H])
+    tc = jnp.tanh(c_aft)
     do = dh * tc
     dc = dc_in + dh * o * (1.0 - tc * tc)
     d_gi = (dc * g) * i * (1.0 - i)
@@ -80,139 +80,24 @@ def _cell_bwd(dh, dc_in, gates, tc, c_prev, H):
     return jnp.concatenate([d_gi, d_gf, d_gg, d_go], axis=0), dc * f
 
 
-def _fwd_kernel(x_ref, dm_ref, w0i, w0h, b0, w1i, w1h, b1,
-                hs2_ref, stash_ref,
-                h0s, c0s, h1s, c1s,
-                *, H: int, Tc: int, dtype):
-    """One (tile, chunk) step: advance both layers Tc timesteps; write hs2 +
-    stash blocks. The time loop is inside the kernel so the pipeline overhead
-    amortizes over Tc steps."""
-    chunk = pl.program_id(1)
-    off, _ = _offsets(H)
-
-    @pl.when(chunk == 0)
-    def _():
-        h0s[:] = jnp.zeros_like(h0s)
-        c0s[:] = jnp.zeros_like(c0s)
-        h1s[:] = jnp.zeros_like(h1s)
-        c1s[:] = jnp.zeros_like(c1s)
-
-    def mm(a, b):
-        return jnp.dot(a.astype(dtype), b.astype(dtype), preferred_element_type=F32)
-
-    def step(tau, _):
-        x_t = x_ref[tau]
-        h0_prev, c0_prev = h0s[:], c0s[:]
-        h1_prev, c1_prev = h1s[:], c1s[:]
-
-        g0 = mm(w0i[:], x_t) + mm(w0h[:], h0_prev) + b0[:]
-        h0, c0, gates0, tc0 = _cell_fwd(h0_prev, c0_prev, g0, H)
-        h0d = h0 * dm_ref[tau]
-        g1 = mm(w1i[:], h0d) + mm(w1h[:], h1_prev) + b1[:]
-        h1, c1, gates1, tc1 = _cell_fwd(h1_prev, c1_prev, g1, H)
-
-        h0s[:], c0s[:] = h0, c0
-        h1s[:], c1s[:] = h1, c1
-
-        hs2_ref[tau] = h1
-        s = stash_ref
-        s[tau, off["g0"][0]:off["g0"][1]] = gates0
-        s[tau, off["tc0"][0]:off["tc0"][1]] = tc0
-        s[tau, off["cp0"][0]:off["cp0"][1]] = c0_prev
-        s[tau, off["hp0"][0]:off["hp0"][1]] = h0_prev
-        s[tau, off["h0"][0]:off["h0"][1]] = h0
-        s[tau, off["g1"][0]:off["g1"][1]] = gates1
-        s[tau, off["tc1"][0]:off["tc1"][1]] = tc1
-        s[tau, off["cp1"][0]:off["cp1"][1]] = c1_prev
-        s[tau, off["hp1"][0]:off["hp1"][1]] = h1_prev
-        return 0
-
-    jax.lax.fori_loop(0, Tc, step, 0)
+# VMEM budget for one stash block; module-level so tests can shrink it to
+# force multi-chunk grids on tiny shapes (the cross-chunk state carry path).
+STASH_BLOCK_BUDGET_BYTES = 2_800_000
 
 
-def _bwd_kernel(x_ref, dm_ref, w0i, w0h, b0, w1i, w1h, b1,
-                stash_ref, dhs2_ref,
-                dx_ref, gw0i, gw0h, gb0, gw1i, gw1h, gb1,
-                dh0s, dc0s, dh1s, dc1s,
-                *, H: int, Tc: int, dtype):
-    """One reverse (tile, chunk) step: cell backward for both layers over Tc
-    timesteps (reverse order within the chunk); accumulate weight grads in
-    resident VMEM blocks; emit d(x_t)."""
-    chunk = pl.program_id(1)
-    first = jnp.logical_and(pl.program_id(0) == 0, chunk == 0)
-    off, _ = _offsets(H)
-
-    @pl.when(first)
-    def _():
-        for ref in (gw0i, gw0h, gb0, gw1i, gw1h, gb1):
-            ref[:] = jnp.zeros_like(ref)
-
-    @pl.when(chunk == 0)
-    def _():
-        dh0s[:] = jnp.zeros_like(dh0s)
-        dc0s[:] = jnp.zeros_like(dc0s)
-        dh1s[:] = jnp.zeros_like(dh1s)
-        dc1s[:] = jnp.zeros_like(dc1s)
-
-    def mm(a, b):
-        return jnp.dot(a.astype(dtype), b.astype(dtype), preferred_element_type=F32)
-
-    def mmT(a, b):
-        return jax.lax.dot_general(
-            a.astype(dtype), b.astype(dtype),
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=F32)
-
-    # weight-grad accumulators carried through the chunk in registers (one
-    # VMEM read-modify-write per chunk instead of per step)
-    def step(k, acc):
-        a0i, a0h, a0b, a1i, a1h, a1b = acc
-        tau = Tc - 1 - k
-        s = stash_ref
-        gates0 = s[tau, off["g0"][0]:off["g0"][1]]
-        tc0 = s[tau, off["tc0"][0]:off["tc0"][1]]
-        cp0 = s[tau, off["cp0"][0]:off["cp0"][1]]
-        hp0 = s[tau, off["hp0"][0]:off["hp0"][1]]
-        h0 = s[tau, off["h0"][0]:off["h0"][1]]
-        gates1 = s[tau, off["g1"][0]:off["g1"][1]]
-        tc1 = s[tau, off["tc1"][0]:off["tc1"][1]]
-        cp1 = s[tau, off["cp1"][0]:off["cp1"][1]]
-        hp1 = s[tau, off["hp1"][0]:off["hp1"][1]]
-
-        # layer 1 (top) backward
-        dh1 = dhs2_ref[tau] + dh1s[:]
-        dg1, dc1_prev = _cell_bwd(dh1, dc1s[:], gates1, tc1, cp1, H)
-        h0d = h0 * dm_ref[tau]
-        a1i = a1i + mmT(dg1, h0d)
-        a1h = a1h + mmT(dg1, hp1)
-        a1b = a1b + jnp.sum(dg1, axis=1, keepdims=True)
-        dh0_from1 = mm(jnp.swapaxes(w1i[:], 0, 1), dg1) * dm_ref[tau]
-        dh1s[:] = mm(jnp.swapaxes(w1h[:], 0, 1), dg1)
-        dc1s[:] = dc1_prev
-
-        # layer 0 backward
-        dh0 = dh0_from1 + dh0s[:]
-        dg0, dc0_prev = _cell_bwd(dh0, dc0s[:], gates0, tc0, cp0, H)
-        a0i = a0i + mmT(dg0, x_ref[tau])
-        a0h = a0h + mmT(dg0, hp0)
-        a0b = a0b + jnp.sum(dg0, axis=1, keepdims=True)
-        dx_ref[tau] = mm(jnp.swapaxes(w0i[:], 0, 1), dg0)
-        dh0s[:] = mm(jnp.swapaxes(w0h[:], 0, 1), dg0)
-        dc0s[:] = dc0_prev
-        return a0i, a0h, a0b, a1i, a1h, a1b
-
-    acc0 = tuple(jnp.zeros(r.shape, F32)
-                 for r in (gw0i, gw0h, gb0, gw1i, gw1h, gb1))
-    a0i, a0h, a0b, a1i, a1h, a1b = jax.lax.fori_loop(0, Tc, step, acc0)
-    gw0i[:] += a0i
-    gw0h[:] += a0h
-    gb0[:] += a0b
-    gw1i[:] += a1i
-    gw1h[:] += a1h
-    gb1[:] += a1b
+def _pick_chunk(T: int, H: int, Bt: int) -> int:
+    """Largest divisor of T whose (Tc, 4H, Bt) f32 stash block fits the VMEM
+    budget (blocks are double-buffered by the pipeline)."""
+    per_step = 4 * H * Bt * 4
+    cap = max(STASH_BLOCK_BUDGET_BYTES // per_step, 1)
+    for tc in range(min(cap, T), 0, -1):
+        if T % tc == 0:
+            return tc
+    return 1
 
 
-def _specs(n_chunks, Tc, rows, Bt, reverse=False):
+def _seq_spec(n_chunks, Tc, rows, Bt, reverse=False):
+    """Block spec for a [T, rows, B] stream, chunked over (tile, chunk)."""
     if reverse:
         return pl.BlockSpec((Tc, rows, Bt),
                             lambda i, c: (n_chunks - 1 - c, 0, i),
@@ -221,116 +106,460 @@ def _specs(n_chunks, Tc, rows, Bt, reverse=False):
                         memory_space=pltpu.VMEM)
 
 
-def _pick_chunk(T: int, stash_rows: int, Bt: int,
-                budget_bytes: int = 2_500_000) -> int:
-    """Largest divisor of T whose stash block fits the VMEM budget.
-
-    The stash block is (Tc, stash_rows, Bt) f32 and is double-buffered by the
-    pipeline; blocks beyond ~2.5MB OOM the 16MB VMEM alongside weights/scratch.
-    """
-    per_step = stash_rows * Bt * 4
-    cap = max(budget_bytes // per_step, 1)
-    for tc in range(min(cap, T), 0, -1):
-        if T % tc == 0:
-            return tc
-    return 1
-
-
-def _const_spec(shape):
-    return pl.BlockSpec(shape, lambda i, t: tuple(0 for _ in shape),
+def _tile_spec(rows, Bt):
+    """Block spec for a [rows, B] array tiled over batch, constant over chunks."""
+    return pl.BlockSpec((rows, Bt), lambda i, c: (0, i),
                         memory_space=pltpu.VMEM)
 
 
+def _const_spec(shape):
+    return pl.BlockSpec(shape, lambda i, c: tuple(0 for _ in shape),
+                        memory_space=pltpu.VMEM)
+
+
+def _mm(dtype):
+    def mm(a, b):
+        return jnp.dot(a.astype(dtype), b.astype(dtype),
+                       preferred_element_type=F32)
+    return mm
+
+
+def _mmT(dtype):
+    def mmT(a, b):
+        return jax.lax.dot_general(
+            a.astype(dtype), b.astype(dtype),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=F32)
+    return mmT
+
+
+# ---------------------------------------------------------------------------
+# encoder: two-layer scan -> last hidden state only
+# ---------------------------------------------------------------------------
+
+
+def _enc_fwd_kernel(x_ref, dm_ref, w0i, w0h, b0, w1i, w1h, b1,
+                    stash_ref, hlast_ref, fin_ref,
+                    h0s, c0s, h1s, c1s,
+                    *, H: int, Tc: int, n_chunks: int, dtype):
+    chunk = pl.program_id(1)
+    mm = _mm(dtype)
+
+    @pl.when(chunk == 0)
+    def _():
+        for ref in (h0s, c0s, h1s, c1s):
+            ref[:] = jnp.zeros_like(ref)
+
+    def step(tau, _):
+        h0p, c0p, h1p, c1p = h0s[:], c0s[:], h1s[:], c1s[:]
+        # stash the PRE-step state (state after tau-1 steps)
+        stash_ref[tau, 0 * H:1 * H] = h0p
+        stash_ref[tau, 1 * H:2 * H] = c0p
+        stash_ref[tau, 2 * H:3 * H] = h1p
+        stash_ref[tau, 3 * H:4 * H] = c1p
+
+        g0 = mm(w0i[:], x_ref[tau]) + mm(w0h[:], h0p) + b0[:]
+        h0, c0 = _cell_fwd(h0p, c0p, g0, H)
+        g1 = mm(w1i[:], h0 * dm_ref[tau]) + mm(w1h[:], h1p) + b1[:]
+        h1, c1 = _cell_fwd(h1p, c1p, g1, H)
+        h0s[:], c0s[:], h1s[:], c1s[:] = h0, c0, h1, c1
+        return 0
+
+    jax.lax.fori_loop(0, Tc, step, 0)
+
+    @pl.when(chunk == n_chunks - 1)
+    def _():
+        hlast_ref[:] = h1s[:]
+        fin_ref[0 * H:1 * H] = h0s[:]
+        fin_ref[1 * H:2 * H] = c0s[:]
+        fin_ref[2 * H:3 * H] = h1s[:]
+        fin_ref[3 * H:4 * H] = c1s[:]
+
+
+def _enc_bwd_kernel(x_ref, dm_ref, w0i, w0h, b0, w1i, w1h, b1,
+                    stash_ref, fin_ref, dhl_ref,
+                    dx_ref, gw0i, gw0h, gb0, gw1i, gw1h, gb1,
+                    ah0, ac0, ah1, ac1, dh0s, dc0s, dh1s, dc1s,
+                    *, H: int, Tc: int, dtype):
+    chunk = pl.program_id(1)
+    first = jnp.logical_and(pl.program_id(0) == 0, chunk == 0)
+    mm = _mm(dtype)
+    mmT = _mmT(dtype)
+
+    @pl.when(first)
+    def _():
+        for ref in (gw0i, gw0h, gb0, gw1i, gw1h, gb1):
+            ref[:] = jnp.zeros_like(ref)
+
+    @pl.when(chunk == 0)
+    def _():
+        # start of the reverse pass (time-last chunk): the state AFTER the
+        # chunk's last step is the final state; dh1 carry starts at d(h_last)
+        ah0[:] = fin_ref[0 * H:1 * H]
+        ac0[:] = fin_ref[1 * H:2 * H]
+        ah1[:] = fin_ref[2 * H:3 * H]
+        ac1[:] = fin_ref[3 * H:4 * H]
+        dh1s[:] = dhl_ref[:]
+        dh0s[:] = jnp.zeros_like(dh0s)
+        dc0s[:] = jnp.zeros_like(dc0s)
+        dc1s[:] = jnp.zeros_like(dc1s)
+
+    def step(k, acc):
+        (h0a, c0a, h1a, c1a, dh0, dc0, dh1, dc1,
+         a0i, a0h, a0b, a1i, a1h, a1b) = acc
+        tau = Tc - 1 - k
+        h0p = stash_ref[tau, 0 * H:1 * H]
+        c0p = stash_ref[tau, 1 * H:2 * H]
+        h1p = stash_ref[tau, 2 * H:3 * H]
+        c1p = stash_ref[tau, 3 * H:4 * H]
+        x_t = x_ref[tau]
+        dm_t = dm_ref[tau]
+
+        # recompute pre-activation gates (bit-identical to forward)
+        g0 = mm(w0i[:], x_t) + mm(w0h[:], h0p) + b0[:]
+        h0d = h0a * dm_t
+        g1 = mm(w1i[:], h0d) + mm(w1h[:], h1p) + b1[:]
+
+        dg1, dc1p = _cell_bwd(dh1, dc1, g1, c1a, c1p, H)
+        a1i = a1i + mmT(dg1, h0d)
+        a1h = a1h + mmT(dg1, h1p)
+        a1b = a1b + jnp.sum(dg1, axis=1, keepdims=True)
+        dh0 = dh0 + mm(jnp.swapaxes(w1i[:], 0, 1), dg1) * dm_t
+        dh1 = mm(jnp.swapaxes(w1h[:], 0, 1), dg1)
+
+        dg0, dc0p = _cell_bwd(dh0, dc0, g0, c0a, c0p, H)
+        a0i = a0i + mmT(dg0, x_t)
+        a0h = a0h + mmT(dg0, h0p)
+        a0b = a0b + jnp.sum(dg0, axis=1, keepdims=True)
+        dx_ref[tau] = mm(jnp.swapaxes(w0i[:], 0, 1), dg0)
+        dh0 = mm(jnp.swapaxes(w0h[:], 0, 1), dg0)
+
+        return (h0p, c0p, h1p, c1p, dh0, dc0p, dh1, dc1p,
+                a0i, a0h, a0b, a1i, a1h, a1b)
+
+    acc0 = tuple(jnp.zeros(r.shape, F32)
+                 for r in (gw0i, gw0h, gb0, gw1i, gw1h, gb1))
+    init = (ah0[:], ac0[:], ah1[:], ac1[:],
+            dh0s[:], dc0s[:], dh1s[:], dc1s[:]) + acc0
+    out = jax.lax.fori_loop(0, Tc, step, init)
+    (h0a, c0a, h1a, c1a, dh0, dc0, dh1, dc1,
+     a0i, a0h, a0b, a1i, a1h, a1b) = out
+    ah0[:], ac0[:], ah1[:], ac1[:] = h0a, c0a, h1a, c1a
+    dh0s[:], dc0s[:], dh1s[:], dc1s[:] = dh0, dc0, dh1, dc1
+    gw0i[:] += a0i
+    gw0h[:] += a0h
+    gb0[:] += a0b
+    gw1i[:] += a1i
+    gw1h[:] += a1h
+    gb1[:] += a1b
+
+
+def _dims(T, B, H, batch_tile):
+    if B % batch_tile:
+        raise ValueError(f"batch {B} must be a multiple of batch_tile {batch_tile}")
+    Tc = _pick_chunk(T, H, batch_tile)
+    return Tc, T // Tc, B // batch_tile
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
-def lstm2_scan(xs, dm, w0i, w0h, b0, w1i, w1h, b1,
-               batch_tile=256, dtype=jnp.bfloat16, interpret=False):
-    """Two-layer LSTM over a sequence, transposed layout.
+def lstm2_enc_last(xs, dm, w0i, w0h, b0, w1i, w1h, b1,
+                   batch_tile=256, dtype=jnp.bfloat16, interpret=False):
+    """Two-layer LSTM over a sequence, returning the LAST top-layer state.
 
     xs: [T, Din, B]; dm: [T, H, B] inverted-dropout mask applied to the
     layer-0 output before it feeds layer 1; weights [4H, *] / biases [4H, 1].
-    Returns hs2 [T, H, B] — the top layer's per-step outputs. Differentiable
-    w.r.t. xs and all six weights (mask treated as constant).
+    Returns h_last [H, B]. Differentiable w.r.t. xs and all six weights
+    (mask treated as constant).
     """
-    hs2, _ = _lstm2_fwd_impl(xs, dm, w0i, w0h, b0, w1i, w1h, b1,
-                             batch_tile, dtype, interpret)
-    return hs2
+    h_last, _, _ = _enc_fwd_impl(xs, dm, w0i, w0h, b0, w1i, w1h, b1,
+                                 batch_tile, dtype, interpret)
+    return h_last
 
 
-def _dims(xs, w0h, batch_tile):
+def _enc_fwd_impl(xs, dm, w0i, w0h, b0, w1i, w1h, b1,
+                  batch_tile, dtype, interpret):
     T, Din, B = xs.shape
     H = w0h.shape[1]
-    if B % batch_tile:
-        raise ValueError(f"batch {B} must be a multiple of batch_tile {batch_tile}")
-    return T, Din, B, H, B // batch_tile
-
-
-def _lstm2_fwd_impl(xs, dm, w0i, w0h, b0, w1i, w1h, b1,
-                    batch_tile, dtype, interpret):
-    T, Din, B, H, n_tiles = _dims(xs, w0h, batch_tile)
-    _, stash_rows = _offsets(H)
-    Tc = _pick_chunk(T, stash_rows, batch_tile)
-    nc = T // Tc
+    Tc, nc, n_tiles = _dims(T, B, H, batch_tile)
     weights = [w0i, w0h, b0, w1i, w1h, b1]
-    kernel = functools.partial(_fwd_kernel, H=H, Tc=Tc, dtype=dtype)
-    hs2, stash = pl.pallas_call(
+    kernel = functools.partial(_enc_fwd_kernel, H=H, Tc=Tc, n_chunks=nc,
+                               dtype=dtype)
+    stash, h_last, fin = pl.pallas_call(
         kernel,
         grid=(n_tiles, nc),
-        in_specs=[_specs(nc, Tc, Din, batch_tile), _specs(nc, Tc, H, batch_tile)]
+        in_specs=[_seq_spec(nc, Tc, Din, batch_tile),
+                  _seq_spec(nc, Tc, H, batch_tile)]
         + [_const_spec(w.shape) for w in weights],
-        out_specs=(_specs(nc, Tc, H, batch_tile),
-                   _specs(nc, Tc, stash_rows, batch_tile)),
-        out_shape=(jax.ShapeDtypeStruct((T, H, B), F32),
-                   jax.ShapeDtypeStruct((T, stash_rows, B), F32)),
+        out_specs=(_seq_spec(nc, Tc, 4 * H, batch_tile),
+                   _tile_spec(H, batch_tile),
+                   _tile_spec(4 * H, batch_tile)),
+        out_shape=(jax.ShapeDtypeStruct((T, 4 * H, B), F32),
+                   jax.ShapeDtypeStruct((H, B), F32),
+                   jax.ShapeDtypeStruct((4 * H, B), F32)),
         scratch_shapes=[pltpu.VMEM((H, batch_tile), F32) for _ in range(4)],
         interpret=interpret,
     )(xs, dm, *weights)
-    return hs2, stash
+    return h_last, stash, fin
 
 
-def _lstm2_fwd_vjp(xs, dm, w0i, w0h, b0, w1i, w1h, b1,
-                   batch_tile, dtype, interpret):
-    hs2, stash = _lstm2_fwd_impl(xs, dm, w0i, w0h, b0, w1i, w1h, b1,
-                                 batch_tile, dtype, interpret)
-    return hs2, (xs, dm, w0i, w0h, b0, w1i, w1h, b1, stash)
+def _enc_fwd_vjp(xs, dm, w0i, w0h, b0, w1i, w1h, b1,
+                 batch_tile, dtype, interpret):
+    h_last, stash, fin = _enc_fwd_impl(xs, dm, w0i, w0h, b0, w1i, w1h, b1,
+                                       batch_tile, dtype, interpret)
+    return h_last, (xs, dm, w0i, w0h, b0, w1i, w1h, b1, stash, fin)
 
 
-def _lstm2_bwd_vjp(batch_tile, dtype, interpret, res, d_hs2):
-    xs, dm, w0i, w0h, b0, w1i, w1h, b1, stash = res
-    T, Din, B, H, n_tiles = _dims(xs, w0h, batch_tile)
-    _, stash_rows = _offsets(H)
-    Tc = _pick_chunk(T, stash_rows, batch_tile)
-    nc = T // Tc
+def _enc_bwd_vjp(batch_tile, dtype, interpret, res, d_hlast):
+    xs, dm, w0i, w0h, b0, w1i, w1h, b1, stash, fin = res
+    T, Din, B = xs.shape
+    H = w0h.shape[1]
+    Tc, nc, n_tiles = _dims(T, B, H, batch_tile)
     weights = [w0i, w0h, b0, w1i, w1h, b1]
-    kernel = functools.partial(_bwd_kernel, H=H, Tc=Tc, dtype=dtype)
+    kernel = functools.partial(_enc_bwd_kernel, H=H, Tc=Tc, dtype=dtype)
     outs = pl.pallas_call(
         kernel,
         grid=(n_tiles, nc),
-        in_specs=[_specs(nc, Tc, Din, batch_tile, reverse=True),
-                  _specs(nc, Tc, H, batch_tile, reverse=True)]
+        in_specs=[_seq_spec(nc, Tc, Din, batch_tile, reverse=True),
+                  _seq_spec(nc, Tc, H, batch_tile, reverse=True)]
         + [_const_spec(w.shape) for w in weights]
-        + [_specs(nc, Tc, stash_rows, batch_tile, reverse=True),
-           _specs(nc, Tc, H, batch_tile, reverse=True)],
-        out_specs=tuple([_specs(nc, Tc, Din, batch_tile, reverse=True)]
+        + [_seq_spec(nc, Tc, 4 * H, batch_tile, reverse=True),
+           _tile_spec(4 * H, batch_tile),
+           _tile_spec(H, batch_tile)],
+        out_specs=tuple([_seq_spec(nc, Tc, Din, batch_tile, reverse=True)]
                         + [_const_spec(w.shape) for w in weights]),
         out_shape=tuple([jax.ShapeDtypeStruct((T, Din, B), F32)]
                         + [jax.ShapeDtypeStruct(w.shape, F32) for w in weights]),
-        scratch_shapes=[pltpu.VMEM((H, batch_tile), F32) for _ in range(4)],
+        scratch_shapes=[pltpu.VMEM((H, batch_tile), F32) for _ in range(8)],
         interpret=interpret,
-    )(xs, dm, *weights, stash, d_hs2)
+    )(xs, dm, *weights, stash, fin, d_hlast)
     dxs, gw0i, gw0h, gb0, gw1i, gw1h, gb1 = outs
     return (dxs, jnp.zeros_like(dm), gw0i, gw0h, gb0, gw1i, gw1h, gb1)
 
 
-lstm2_scan.defvjp(_lstm2_fwd_vjp, _lstm2_bwd_vjp)
+lstm2_enc_last.defvjp(_enc_fwd_vjp, _enc_bwd_vjp)
 
 
 # ---------------------------------------------------------------------------
-# pure-JAX reference (for tests) and the full VAE training apply
+# decoder: constant input, two-layer scan, fused output head
+# ---------------------------------------------------------------------------
+
+
+def _dec_fwd_kernel(dm_ref, din_ref, w0i, w0h, b0, w1i, w1h, b1, ow, ob,
+                    recon_ref, stash_ref, fin_ref,
+                    h0s, c0s, h1s, c1s,
+                    *, H: int, Tc: int, n_chunks: int, dtype):
+    chunk = pl.program_id(1)
+    mm = _mm(dtype)
+
+    @pl.when(chunk == 0)
+    def _():
+        for ref in (h0s, c0s, h1s, c1s):
+            ref[:] = jnp.zeros_like(ref)
+
+    # constant layer-0 input projection, computed once per invocation
+    xp = mm(w0i[:], din_ref[:]) + b0[:]
+
+    def step(tau, _):
+        h0p, c0p, h1p, c1p = h0s[:], c0s[:], h1s[:], c1s[:]
+        stash_ref[tau, 0 * H:1 * H] = h0p
+        stash_ref[tau, 1 * H:2 * H] = c0p
+        stash_ref[tau, 2 * H:3 * H] = h1p
+        stash_ref[tau, 3 * H:4 * H] = c1p
+
+        g0 = xp + mm(w0h[:], h0p)
+        h0, c0 = _cell_fwd(h0p, c0p, g0, H)
+        g1 = mm(w1i[:], h0 * dm_ref[tau]) + mm(w1h[:], h1p) + b1[:]
+        h1, c1 = _cell_fwd(h1p, c1p, g1, H)
+        h0s[:], c0s[:], h1s[:], c1s[:] = h0, c0, h1, c1
+        recon_ref[tau] = mm(ow[:], h1) + ob[:]
+        return 0
+
+    jax.lax.fori_loop(0, Tc, step, 0)
+
+    @pl.when(chunk == n_chunks - 1)
+    def _():
+        fin_ref[0 * H:1 * H] = h0s[:]
+        fin_ref[1 * H:2 * H] = c0s[:]
+        fin_ref[2 * H:3 * H] = h1s[:]
+        fin_ref[3 * H:4 * H] = c1s[:]
+
+
+def _dec_bwd_kernel(dm_ref, din_ref, w0i, w0h, b0, w1i, w1h, b1, ow, ob,
+                    stash_ref, fin_ref, dr_ref,
+                    ddin_ref, gw0i, gw0h, gb0, gw1i, gw1h, gb1, gow, gob,
+                    ah0, ac0, ah1, ac1, dh0s, dc0s, dh1s, dc1s,
+                    *, H: int, Tc: int, n_chunks: int, dtype):
+    chunk = pl.program_id(1)
+    first = jnp.logical_and(pl.program_id(0) == 0, chunk == 0)
+    mm = _mm(dtype)
+    mmT = _mmT(dtype)
+
+    @pl.when(first)
+    def _():
+        for ref in (gw0i, gw0h, gb0, gw1i, gw1h, gb1, gow, gob):
+            ref[:] = jnp.zeros_like(ref)
+
+    @pl.when(chunk == 0)
+    def _():
+        ah0[:] = fin_ref[0 * H:1 * H]
+        ac0[:] = fin_ref[1 * H:2 * H]
+        ah1[:] = fin_ref[2 * H:3 * H]
+        ac1[:] = fin_ref[3 * H:4 * H]
+        for ref in (dh0s, dc0s, dh1s, dc1s):
+            ref[:] = jnp.zeros_like(ref)
+        ddin_ref[:] = jnp.zeros_like(ddin_ref)
+
+    xp = mm(w0i[:], din_ref[:]) + b0[:]
+
+    def step(k, acc):
+        (h0a, c0a, h1a, c1a, dh0, dc0, dh1, dc1,
+         a0h, a0b, a1i, a1h, a1b, aow, aob, adg0) = acc
+        tau = Tc - 1 - k
+        h0p = stash_ref[tau, 0 * H:1 * H]
+        c0p = stash_ref[tau, 1 * H:2 * H]
+        h1p = stash_ref[tau, 2 * H:3 * H]
+        c1p = stash_ref[tau, 3 * H:4 * H]
+        dm_t = dm_ref[tau]
+        dr_t = dr_ref[tau]
+
+        g0 = xp + mm(w0h[:], h0p)
+        h0d = h0a * dm_t
+        g1 = mm(w1i[:], h0d) + mm(w1h[:], h1p) + b1[:]
+
+        # output head backward (h1 after step tau = h1a)
+        aow = aow + mmT(dr_t, h1a)
+        aob = aob + jnp.sum(dr_t, axis=1, keepdims=True)
+        dh1 = dh1 + mm(jnp.swapaxes(ow[:], 0, 1), dr_t)
+
+        dg1, dc1p = _cell_bwd(dh1, dc1, g1, c1a, c1p, H)
+        a1i = a1i + mmT(dg1, h0d)
+        a1h = a1h + mmT(dg1, h1p)
+        a1b = a1b + jnp.sum(dg1, axis=1, keepdims=True)
+        dh0 = dh0 + mm(jnp.swapaxes(w1i[:], 0, 1), dg1) * dm_t
+        dh1 = mm(jnp.swapaxes(w1h[:], 0, 1), dg1)
+
+        dg0, dc0p = _cell_bwd(dh0, dc0, g0, c0a, c0p, H)
+        adg0 = adg0 + dg0              # d(xp): input-projection grads fold up
+        a0h = a0h + mmT(dg0, h0p)
+        dh0 = mm(jnp.swapaxes(w0h[:], 0, 1), dg0)
+
+        return (h0p, c0p, h1p, c1p, dh0, dc0p, dh1, dc1p,
+                a0h, a0b, a1i, a1h, a1b, aow, aob, adg0)
+
+    Bt = din_ref.shape[1]
+    acc0 = tuple(jnp.zeros(r.shape, F32)
+                 for r in (gw0h, gb0, gw1i, gw1h, gb1, gow, gob))
+    init = (ah0[:], ac0[:], ah1[:], ac1[:],
+            dh0s[:], dc0s[:], dh1s[:], dc1s[:]) + acc0 \
+        + (jnp.zeros((4 * H, Bt), F32),)
+    out = jax.lax.fori_loop(0, Tc, step, init)
+    (h0a, c0a, h1a, c1a, dh0, dc0, dh1, dc1,
+     a0h, a0b, a1i, a1h, a1b, aow, aob, adg0) = out
+    ah0[:], ac0[:], ah1[:], ac1[:] = h0a, c0a, h1a, c1a
+    dh0s[:], dc0s[:], dh1s[:], dc1s[:] = dh0, dc0, dh1, dc1
+    # dg0 folds into: d w0i += dg0 @ din^T, d b0 += sum dg0, d din += w0i^T dg0
+    gw0i[:] += mmT(adg0, din_ref[:])
+    gb0[:] += a0b + jnp.sum(adg0, axis=1, keepdims=True)
+    ddin_ref[:] += mm(jnp.swapaxes(w0i[:], 0, 1), adg0)
+    gw0h[:] += a0h
+    gw1i[:] += a1i
+    gw1h[:] += a1h
+    gb1[:] += a1b
+    gow[:] += aow
+    gob[:] += aob
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13))
+def lstm2_dec_head(dec_in, dm, w0i, w0h, b0, w1i, w1h, b1, out_w, out_b,
+                   T=100, batch_tile=256, dtype=jnp.bfloat16, interpret=False):
+    """Two-layer LSTM decoder with a CONSTANT input and a fused output head.
+
+    dec_in: [H_in, B] (fed to layer 0 at every step); dm: [T, H, B] dropout
+    mask between the layers; out_w [D, H] / out_b [D, 1] the output head.
+    Returns recon [T, D, B]. Differentiable w.r.t. dec_in, weights, and head.
+    """
+    recon, _, _ = _dec_fwd_impl(dec_in, dm, w0i, w0h, b0, w1i, w1h, b1,
+                                out_w, out_b, T, batch_tile, dtype, interpret)
+    return recon
+
+
+def _dec_fwd_impl(dec_in, dm, w0i, w0h, b0, w1i, w1h, b1, out_w, out_b,
+                  T, batch_tile, dtype, interpret):
+    Hin, B = dec_in.shape
+    H = w0h.shape[1]
+    D = out_w.shape[0]
+    Tc, nc, n_tiles = _dims(T, B, H, batch_tile)
+    weights = [w0i, w0h, b0, w1i, w1h, b1, out_w, out_b]
+    kernel = functools.partial(_dec_fwd_kernel, H=H, Tc=Tc, n_chunks=nc,
+                               dtype=dtype)
+    recon, stash, fin = pl.pallas_call(
+        kernel,
+        grid=(n_tiles, nc),
+        in_specs=[_seq_spec(nc, Tc, H, batch_tile),
+                  _tile_spec(Hin, batch_tile)]
+        + [_const_spec(w.shape) for w in weights],
+        out_specs=(_seq_spec(nc, Tc, D, batch_tile),
+                   _seq_spec(nc, Tc, 4 * H, batch_tile),
+                   _tile_spec(4 * H, batch_tile)),
+        out_shape=(jax.ShapeDtypeStruct((T, D, B), F32),
+                   jax.ShapeDtypeStruct((T, 4 * H, B), F32),
+                   jax.ShapeDtypeStruct((4 * H, B), F32)),
+        scratch_shapes=[pltpu.VMEM((H, batch_tile), F32) for _ in range(4)],
+        interpret=interpret,
+    )(dm, dec_in, *weights)
+    return recon, stash, fin
+
+
+def _dec_fwd_vjp(dec_in, dm, w0i, w0h, b0, w1i, w1h, b1, out_w, out_b,
+                 T, batch_tile, dtype, interpret):
+    recon, stash, fin = _dec_fwd_impl(dec_in, dm, w0i, w0h, b0, w1i, w1h, b1,
+                                      out_w, out_b, T, batch_tile, dtype,
+                                      interpret)
+    return recon, (dec_in, dm, w0i, w0h, b0, w1i, w1h, b1, out_w, out_b,
+                   stash, fin)
+
+
+def _dec_bwd_vjp(T, batch_tile, dtype, interpret, res, d_recon):
+    (dec_in, dm, w0i, w0h, b0, w1i, w1h, b1, out_w, out_b, stash, fin) = res
+    Hin, B = dec_in.shape
+    H = w0h.shape[1]
+    Tc, nc, n_tiles = _dims(T, B, H, batch_tile)
+    weights = [w0i, w0h, b0, w1i, w1h, b1, out_w, out_b]
+    D = out_w.shape[0]
+    kernel = functools.partial(_dec_bwd_kernel, H=H, Tc=Tc, n_chunks=nc,
+                               dtype=dtype)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_tiles, nc),
+        in_specs=[_seq_spec(nc, Tc, H, batch_tile, reverse=True),
+                  _tile_spec(Hin, batch_tile)]
+        + [_const_spec(w.shape) for w in weights]
+        + [_seq_spec(nc, Tc, 4 * H, batch_tile, reverse=True),
+           _tile_spec(4 * H, batch_tile),
+           _seq_spec(nc, Tc, D, batch_tile, reverse=True)],
+        out_specs=tuple([_tile_spec(Hin, batch_tile)]
+                        + [_const_spec(w.shape) for w in weights]),
+        out_shape=tuple([jax.ShapeDtypeStruct((Hin, B), F32)]
+                        + [jax.ShapeDtypeStruct(w.shape, F32) for w in weights]),
+        scratch_shapes=[pltpu.VMEM((H, batch_tile), F32) for _ in range(8)],
+        interpret=interpret,
+    )(dm, dec_in, *weights, stash, fin, d_recon)
+    ddin, gw0i, gw0h, gb0, gw1i, gw1h, gb1, gow, gob = outs
+    return (ddin, jnp.zeros_like(dm), gw0i, gw0h, gb0, gw1i, gw1h, gb1,
+            gow, gob)
+
+
+lstm2_dec_head.defvjp(_dec_fwd_vjp, _dec_bwd_vjp)
+
+
+# ---------------------------------------------------------------------------
+# pure-JAX references (for tests) and the full VAE training apply
 # ---------------------------------------------------------------------------
 
 
 def lstm2_scan_reference(xs, dm, w0i, w0h, b0, w1i, w1h, b1):
-    """jnp reference of lstm2_scan (same layout), for gradient cross-checks."""
+    """jnp reference two-layer scan (same layout), for gradient cross-checks.
+    Returns the per-step top-layer outputs [T, H, B]."""
     T, Din, B = xs.shape
     H = w0h.shape[1]
     zeros = jnp.zeros((H, B), F32)
@@ -339,19 +568,28 @@ def lstm2_scan_reference(xs, dm, w0i, w0h, b0, w1i, w1h, b1):
         h0, c0, h1, c1 = carry
         x_t, dm_t = inp
         g0 = w0i @ x_t + w0h @ h0 + b0
-        h0n, c0n, _, _ = _cell_fwd(h0, c0, g0, H)
+        h0n, c0n = _cell_fwd(h0, c0, g0, H)
         g1 = w1i @ (h0n * dm_t) + w1h @ h1 + b1
-        h1n, c1n, _, _ = _cell_fwd(h1, c1, g1, H)
+        h1n, c1n = _cell_fwd(h1, c1, g1, H)
         return (h0n, c0n, h1n, c1n), h1n
 
     _, hs2 = jax.lax.scan(step, (zeros, zeros, zeros, zeros), (xs, dm))
     return hs2
 
 
+def lstm2_dec_head_reference(dec_in, dm, w0i, w0h, b0, w1i, w1h, b1,
+                             out_w, out_b, T):
+    """jnp reference of lstm2_dec_head."""
+    H, B = dm.shape[1], dm.shape[2]
+    xs = jnp.broadcast_to(dec_in[None], (T,) + dec_in.shape)
+    hs2 = lstm2_scan_reference(xs, dm, w0i, w0h, b0, w1i, w1h, b1)
+    return jnp.einsum("dh,thb->tdb", out_w, hs2) + out_b
+
+
 def vae_train_forward(params, Z, eps, dm_enc, dm_dec, *,
                       use_layernorm=True, batch_tile=256, dtype=jnp.bfloat16,
                       interpret=False, use_pallas=True):
-    """Full training-mode VAE forward built on lstm2_scan + XLA glue.
+    """Full training-mode VAE forward built on the fused scans + XLA glue.
 
     Z: [B, T, D] normalized windows; eps: [B, Zdim] reparam noise;
     dm_enc/dm_dec: [T, H, B] inverted-dropout masks (ones = deterministic).
@@ -364,17 +602,15 @@ def vae_train_forward(params, Z, eps, dm_enc, dm_dec, *,
     lv_b = params["fc_logvar"]["bias"][:, None]
 
     B, T, D = Z.shape
-    H = w["enc0_whh"].shape[1]
     xs = jnp.transpose(Z, (1, 2, 0)).astype(F32)          # [T, D, B]
 
-    scan = (functools.partial(lstm2_scan, batch_tile=batch_tile, dtype=dtype,
-                              interpret=interpret)
-            if use_pallas else
-            lambda xs_, dm_, *ws: lstm2_scan_reference(xs_, dm_, *ws))
-
-    hs2 = scan(xs, dm_enc, w["enc0_wih"], w["enc0_whh"], w["enc0_b"],
-               w["enc1_wih"], w["enc1_whh"], w["enc1_b"])
-    h_last = hs2[-1]                                       # [H, B]
+    enc_w = (w["enc0_wih"], w["enc0_whh"], w["enc0_b"],
+             w["enc1_wih"], w["enc1_whh"], w["enc1_b"])
+    if use_pallas:
+        h_last = lstm2_enc_last(xs, dm_enc, *enc_w, batch_tile, dtype,
+                                interpret)
+    else:
+        h_last = lstm2_scan_reference(xs, dm_enc, *enc_w)[-1]
 
     if use_layernorm:
         mean = jnp.mean(h_last, axis=0, keepdims=True)
@@ -386,11 +622,21 @@ def vae_train_forward(params, Z, eps, dm_enc, dm_dec, *,
     z = mu + eps.T * jnp.exp(0.5 * logvar)
     dec_in = jnp.tanh(w["z2h_w"] @ z + w["z2h_b"])         # [H, B]
 
-    xs_dec = jnp.broadcast_to(dec_in[None], (T, H, B))
-    hs2_dec = scan(xs_dec, dm_dec, w["dec0_wih"], w["dec0_whh"], w["dec0_b"],
-                   w["dec1_wih"], w["dec1_whh"], w["dec1_b"])
-    recon = jnp.einsum("dh,thb->tdb", w["out_w"], hs2_dec) + w["out_b"]
+    dec_w = (w["dec0_wih"], w["dec0_whh"], w["dec0_b"],
+             w["dec1_wih"], w["dec1_whh"], w["dec1_b"])
+    if use_pallas:
+        recon = lstm2_dec_head(dec_in, dm_dec, *dec_w, w["out_w"], w["out_b"],
+                               T, batch_tile, dtype, interpret)
+    else:
+        recon = lstm2_dec_head_reference(dec_in, dm_dec, *dec_w,
+                                         w["out_w"], w["out_b"], T)
     return (jnp.transpose(recon, (2, 0, 1)), mu.T, logvar.T)
 
 
-__all__ = ["lstm2_scan", "lstm2_scan_reference", "vae_train_forward"]
+__all__ = [
+    "lstm2_enc_last",
+    "lstm2_dec_head",
+    "lstm2_scan_reference",
+    "lstm2_dec_head_reference",
+    "vae_train_forward",
+]

@@ -1,8 +1,9 @@
-"""Custom-VJP fused LSTM training kernel: gradient exactness tests.
+"""Custom-VJP fused LSTM training ops: gradient exactness tests.
 
-Pins the Pallas forward+backward (interpret mode on CPU) against jax.grad of a
-pure-JAX reference with identical dropout masks and reparameterization noise,
-and the full VAE glue path against the flax model's own autodiff.
+Pins the Pallas encoder/decoder forwards+backwards (interpret mode on CPU)
+against jax.grad of pure-JAX references with identical dropout masks and
+reparameterization noise, including the multi-chunk grid (cross-chunk state
+carry), and the full VAE glue path against the flax model's own autodiff.
 """
 
 import numpy as np
@@ -10,11 +11,14 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+import shm_tpu.ops.lstm_train as lt
 from shm_tpu.config import VAEConfig
 from shm_tpu.models import vae_from_config
 from shm_tpu.models.vae import vae_loss
 from shm_tpu.ops.lstm_train import (
-    lstm2_scan, lstm2_scan_reference, vae_train_forward,
+    lstm2_enc_last, lstm2_dec_head,
+    lstm2_scan_reference, lstm2_dec_head_reference,
+    vae_train_forward,
 )
 
 
@@ -27,29 +31,38 @@ def scan_setup():
     w = lambda shape: jnp.asarray(rng.normal(size=shape).astype(np.float32) * 0.3)
     ws = [w((4 * H, Din)), w((4 * H, H)), w((4 * H, 1)),
           w((4 * H, H)), w((4 * H, H)), w((4 * H, 1))]
-    return xs, dm, ws
+    head = [w((5, H)), w((5, 1))]
+    din = jnp.asarray(rng.normal(size=(Din, B)).astype(np.float32))
+    return xs, dm, ws, din, head
 
 
-def test_lstm2_scan_forward_matches_reference(scan_setup):
-    xs, dm, ws = scan_setup
-    ref = lstm2_scan_reference(xs, dm, *ws)
-    out = lstm2_scan(xs, dm, *ws, batch_tile=16, dtype=jnp.float32,
-                     interpret=True)
+@pytest.fixture(params=["single_chunk", "multi_chunk"])
+def chunk_budget(request, monkeypatch):
+    if request.param == "multi_chunk":
+        # force Tc=4 on the (T=12, H=8, Bt=16) test shapes -> 3 chunks,
+        # exercising the cross-chunk state carry in fwd and bwd
+        monkeypatch.setattr(lt, "STASH_BLOCK_BUDGET_BYTES", 4 * 4 * 8 * 16 * 4)
+    return request.param
+
+
+def test_enc_forward_matches_reference(scan_setup, chunk_budget):
+    xs, dm, ws, _, _ = scan_setup
+    ref = lstm2_scan_reference(xs, dm, *ws)[-1]
+    out = lstm2_enc_last(xs, dm, *ws, 16, jnp.float32, True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
 
 
-def test_lstm2_scan_gradients_match_jax_grad(scan_setup):
-    xs, dm, ws = scan_setup
-    R = jax.random.normal(jax.random.PRNGKey(1), (12, 8, 32))
+def test_enc_gradients_match_jax_grad(scan_setup, chunk_budget):
+    xs, dm, ws, _, _ = scan_setup
+    R = jax.random.normal(jax.random.PRNGKey(1), (8, 32))
 
     def loss_pallas(args):
         xs_, *ws_ = args
-        return jnp.sum(lstm2_scan(xs_, dm, *ws_, batch_tile=16,
-                                  dtype=jnp.float32, interpret=True) * R)
+        return jnp.sum(lstm2_enc_last(xs_, dm, *ws_, 16, jnp.float32, True) * R)
 
     def loss_ref(args):
         xs_, *ws_ = args
-        return jnp.sum(lstm2_scan_reference(xs_, dm, *ws_) * R)
+        return jnp.sum(lstm2_scan_reference(xs_, dm, *ws_)[-1] * R)
 
     gp = jax.grad(loss_pallas)([xs] + ws)
     gr = jax.grad(loss_ref)([xs] + ws)
@@ -59,9 +72,40 @@ def test_lstm2_scan_gradients_match_jax_grad(scan_setup):
                                    atol=5e-6 * scale)
 
 
+def test_dec_forward_matches_reference(scan_setup, chunk_budget):
+    _, dm, ws, din, head = scan_setup
+    T = dm.shape[0]
+    ref = lstm2_dec_head_reference(din, dm, *ws, *head, T)
+    out = lstm2_dec_head(din, dm, *ws, *head, T, 16, jnp.float32, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+def test_dec_gradients_match_jax_grad(scan_setup, chunk_budget):
+    _, dm, ws, din, head = scan_setup
+    T = dm.shape[0]
+    R = jax.random.normal(jax.random.PRNGKey(2), (T, 5, 32))
+
+    def loss_pallas(args):
+        din_, *rest = args
+        return jnp.sum(lstm2_dec_head(din_, dm, *rest, T, 16,
+                                      jnp.float32, True) * R)
+
+    def loss_ref(args):
+        din_, *rest = args
+        ws_, head_ = rest[:6], rest[6:]
+        return jnp.sum(lstm2_dec_head_reference(din_, dm, *ws_, *head_, T) * R)
+
+    gp = jax.grad(loss_pallas)([din] + ws + head)
+    gr = jax.grad(loss_ref)([din] + ws + head)
+    for a, b in zip(gp, gr):
+        scale = max(float(jnp.abs(b).max()), 1.0)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-6 * scale)
+
+
 def test_vae_train_forward_grads_match_flax():
     """Glue path (LayerNorm, latent heads, reparam, output head) composes with
-    the kernel op; with eps=0 and unit masks it must equal the flax model's
+    the kernel ops; with eps=0 and unit masks it must equal the flax model's
     autodiff exactly."""
     cfg = VAEConfig(12, 16, 128, 2, 0.3, use_layernorm=True)
     model = vae_from_config(cfg)
