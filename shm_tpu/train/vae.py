@@ -100,6 +100,7 @@ def train_vae(
     fused_epochs: Optional[bool] = None,
     use_pallas_kernel: bool = False,
     kernel_dtype=jnp.bfloat16,
+    kernel_interpret: bool = False,
 ) -> VAETrainResult:
     """Train a TemporalVAE on normalized windows; returns best-val params + history.
 
@@ -134,6 +135,52 @@ def train_vae(
     params = init_params
     opt_state = tx.init(params)
 
+    # --- the per-batch loss+grads, shared by the loop and fused paths ---
+    # use_pallas_kernel swaps the forward/backward onto the custom-VJP fused
+    # LSTM scans (shm_tpu.ops.lstm_train); RNG semantics: eps + inverted-
+    # dropout masks drawn explicitly from the batch key (a different but
+    # equivalent stream to flax's rngs), identical between loop and fused runs.
+    if use_pallas_kernel:
+        from shm_tpu.ops.lstm_train import vae_train_forward
+
+        if model.num_layers != 2:
+            raise ValueError("use_pallas_kernel requires a 2-layer preset")
+        H, Zd = model.hidden_dim, model.latent_dim
+        drop = model.dropout
+
+        def batch_loss_grads(p, xb, bmask, bk, kl_w):
+            k_rep, k_de, k_dd = jax.random.split(bk, 3)
+            eps = jax.random.normal(k_rep, (bs, Zd), jnp.float32)
+            if drop > 0.0:
+                keep = 1.0 - drop
+                dm_e = jax.random.bernoulli(k_de, keep, (T, H, bs)).astype(jnp.float32) / keep
+                dm_d = jax.random.bernoulli(k_dd, keep, (T, H, bs)).astype(jnp.float32) / keep
+            else:
+                dm_e = dm_d = jnp.ones((T, H, bs), jnp.float32)
+
+            def loss_fn(pp):
+                recon, mu, logvar = vae_train_forward(
+                    pp, xb, eps, dm_e, dm_d,
+                    use_layernorm=model.use_layernorm, batch_tile=bs,
+                    dtype=kernel_dtype, interpret=kernel_interpret)
+                total, r, kl = vae_loss(recon, xb, mu, logvar, kl_w, mask=bmask)
+                return total, (r, kl)
+
+            return jax.value_and_grad(loss_fn, has_aux=True)(p)
+    else:
+        def batch_loss_grads(p, xb, bmask, bk, kl_w):
+            k_rep, k_drop = jax.random.split(bk)
+
+            def loss_fn(pp):
+                recon, mu, logvar = model.apply(
+                    {"params": pp}, xb, sample=True, deterministic=False,
+                    rngs={"reparam": k_rep, "dropout": k_drop},
+                )
+                total, r, kl = vae_loss(recon, xb, mu, logvar, kl_w, mask=bmask)
+                return total, (r, kl)
+
+            return jax.value_and_grad(loss_fn, has_aux=True)(p)
+
     # --- one-epoch train scan (pure; jitted directly or inside the fused run) ---
     # NOTE: the window stacks are explicit ARGUMENTS, not closures — jit embeds
     # closed-over arrays as program constants, which on this platform re-stages
@@ -150,18 +197,8 @@ def train_vae(
         def body(carry, inp):
             p, s = carry
             bidx, bmask, bk = inp
-            k_rep, k_drop = jax.random.split(bk)
             xb = Ztr[bidx]
-
-            def loss_fn(pp):
-                recon, mu, logvar = model.apply(
-                    {"params": pp}, xb, sample=True, deterministic=False,
-                    rngs={"reparam": k_rep, "dropout": k_drop},
-                )
-                total, r, kl = vae_loss(recon, xb, mu, logvar, kl_w, mask=bmask)
-                return total, (r, kl)
-
-            (total, (r, kl)), grads = jax.value_and_grad(loss_fn, has_aux=True)(p)
+            (total, (r, kl)), grads = batch_loss_grads(p, xb, bmask, bk, kl_w)
             updates, s = tx.update(grads, s, p)
             p = optax.apply_updates(p, updates)
             n = bmask.sum()
@@ -271,61 +308,14 @@ def train_vae(
     # one jitted step per batch (scan double-buffers every carry buffer each
     # iteration). The stepwise path below reproduces train_epoch_core's key
     # derivation and batch order exactly (fused/loop/resume stay bit-identical).
-    if use_pallas_kernel:
-        # fused two-layer LSTM scan (custom VJP) for the forward+backward;
-        # RNG semantics: eps + inverted-dropout masks drawn explicitly from the
-        # batch key (a different but equivalent stream to flax's rngs)
-        from shm_tpu.ops.lstm_train import vae_train_forward
-
-        if model.num_layers != 2:
-            raise ValueError("use_pallas_kernel requires a 2-layer preset")
-        H, Zd = model.hidden_dim, model.latent_dim
-        drop = model.dropout
-
-        @jax.jit
-        def batch_step(params, opt_state, Ztr, bidx, bmask, bk, kl_w):
-            k_rep, k_de, k_dd = jax.random.split(bk, 3)
-            xb = Ztr[bidx]
-            eps = jax.random.normal(k_rep, (bs, Zd), jnp.float32)
-            if drop > 0.0:
-                keep = 1.0 - drop
-                dm_e = jax.random.bernoulli(k_de, keep, (T, H, bs)).astype(jnp.float32) / keep
-                dm_d = jax.random.bernoulli(k_dd, keep, (T, H, bs)).astype(jnp.float32) / keep
-            else:
-                dm_e = dm_d = jnp.ones((T, H, bs), jnp.float32)
-
-            def loss_fn(pp):
-                recon, mu, logvar = vae_train_forward(
-                    pp, xb, eps, dm_e, dm_d,
-                    use_layernorm=model.use_layernorm, batch_tile=bs,
-                    dtype=kernel_dtype)
-                total, r, kl = vae_loss(recon, xb, mu, logvar, kl_w, mask=bmask)
-                return total, (r, kl)
-
-            (total, (r, kl)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-            updates, opt_state = tx.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            n = bmask.sum()
-            return params, opt_state, total * n, r * n, kl * n, n
-    else:
-        @jax.jit
-        def batch_step(params, opt_state, Ztr, bidx, bmask, bk, kl_w):
-            k_rep, k_drop = jax.random.split(bk)
-            xb = Ztr[bidx]
-
-            def loss_fn(pp):
-                recon, mu, logvar = model.apply(
-                    {"params": pp}, xb, sample=True, deterministic=False,
-                    rngs={"reparam": k_rep, "dropout": k_drop},
-                )
-                total, r, kl = vae_loss(recon, xb, mu, logvar, kl_w, mask=bmask)
-                return total, (r, kl)
-
-            (total, (r, kl)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-            updates, opt_state = tx.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            n = bmask.sum()
-            return params, opt_state, total * n, r * n, kl * n, n
+    @jax.jit
+    def batch_step(params, opt_state, Ztr, bidx, bmask, bk, kl_w):
+        xb = Ztr[bidx]
+        (total, (r, kl)), grads = batch_loss_grads(params, xb, bmask, bk, kl_w)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        n = bmask.sum()
+        return params, opt_state, total * n, r * n, kl * n, n
 
     @jax.jit
     def epoch_prologue(key):

@@ -29,3 +29,28 @@ def test_fused_epochs_matches_loop():
     assert loop.best_epoch == fused.best_epoch
     for a, b in zip(jax.tree.leaves(loop.params), jax.tree.leaves(fused.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+
+
+def test_fused_epochs_matches_loop_pallas_kernel():
+    """The Pallas training-kernel path must be bit-identical between the
+    per-batch loop and the fused whole-run program (same RNG derivation)."""
+    rng = np.random.default_rng(1)
+    t = np.linspace(0, 8 * np.pi, 300)
+    X = np.stack([np.sin(t + p) for p in rng.uniform(0, 2 * np.pi, 4)], axis=1)
+    from shm_tpu.data import make_windows
+    W = np.asarray(make_windows(jnp.asarray(X.astype(np.float32)), 20, 4))
+
+    model = vae_from_config(VAEConfig(4, 3, 8, 2, 0.2, use_layernorm=True))
+    cfg = TrainConfig(epochs=3, batch_size=16, lr=1e-3, weight_decay=1e-5,
+                      grad_clip=2.0, seed=0)
+    kw = dict(use_pallas_kernel=True, kernel_dtype=jnp.float32,
+              kernel_interpret=True)
+    loop = train_vae(model, W, W[:16], cfg, fused_epochs=False, **kw)
+    fused = train_vae(model, W, W[:16], cfg, fused_epochs=True, **kw)
+
+    np.testing.assert_allclose(loop.history["train_total"],
+                               fused.history["train_total"], rtol=1e-6)
+    np.testing.assert_allclose(loop.history["val_total"],
+                               fused.history["val_total"], rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(loop.params), jax.tree.leaves(fused.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
