@@ -188,9 +188,13 @@ def cmd_train_vae(paths: Paths, cfg: OpenLabConfig, epochs: Optional[int] = None
     Z = standardize_clip(Xtr, mu, sd, cfg.standardize_clip)
     tcfg = cfg.vae_train if epochs is None else replace(cfg.vae_train, epochs=epochs)
     model = vae_from_config(cfg.vae)
-    # reference trains with no val split and saves the final model (04:343);
-    # track a val slice for the curves only
+    # reference trains with no val split and saves the FINAL model (04:343) —
+    # parity preserved by saving last_params. The monitored slice is the first
+    # 10% of the TRAINING set itself (curves only, NOT held out), so its
+    # history keys are renamed train_subset_* to prevent best-val misreading.
     res = train_vae(model, Z, Z[: max(len(Z) // 10, 1)], tcfg, log_every=10)
+    for k in ("total", "recon", "kl"):
+        res.history[f"train_subset_{k}"] = res.history.pop(f"val_{k}")
     save_params({"params": res.last_params}, art / "vae_exceedance_clean.msgpack")
 
     manifest = {
@@ -212,7 +216,9 @@ def cmd_train_vae(paths: Paths, cfg: OpenLabConfig, epochs: Optional[int] = None
     }
     save_json(manifest, art / "vae_clean_manifest.json")
     from shm_tpu.report import plot_loss_curves
-    plot_loss_curves(res.history, paths.vae_dir / "plots", "vae_train_loss")
+    plot_loss_curves(res.history, paths.vae_dir / "plots", "vae_train_loss",
+                     keys=(("train_total", "Train"),
+                           ("train_subset_total", "Train subset (first 10%)")))
     print(f"[OK] VAE trained on {Z.shape[0]} normals ({res.seconds:.1f}s); "
           f"manifest + checkpoint under {art}")
 
