@@ -19,7 +19,17 @@ import numpy as np
 
 def percentile_threshold(scores, q: float) -> float:
     """q-th percentile with NumPy's default linear interpolation (matches the
-    reference's ``np.percentile(scores, 99)``)."""
+    reference's ``np.percentile(scores, 99)``).
+
+    Dtype sensitivity (pinned by tests/test_calibrate_dtype.py): on TPU the
+    scores come from the bf16 fused gate kernel (``reconstruction_mse``
+    ``fused="auto"``). Measured on the committed trained artifacts, the
+    resulting threshold differs from forced XLA-f32 scoring by <1e-3 relative
+    for the 4DOF p99 and ~2.1e-3 relative for the openLAB P95 (H=64, T=200:
+    longer bf16-product accumulation over clip(+-10)-standardized inputs).
+    Gate decisions on the trained artifacts agree 100% either way
+    (BENCHMARKS.md).
+    """
     return float(np.percentile(np.asarray(scores), q))
 
 

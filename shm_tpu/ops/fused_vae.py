@@ -90,6 +90,7 @@ def _kernel(
     *refs,                     # L encoder triples, [ln pair,] mu/z2h pairs,
                                # L decoder triples, out pair, then out refs
     T: int, H: int, num_layers: int, use_layernorm: bool, dtype,
+    emulate: bool = False,
 ):
     it = iter(refs)
     enc = [(next(it), next(it), next(it)) for _ in range(num_layers)]
@@ -106,6 +107,14 @@ def _kernel(
     f32 = jnp.float32
 
     def mm(a, b):
+        if emulate:
+            # interpret-mode on CPU: XLA-CPU lacks a bf16 x bf16 -> f32 dot
+            # thunk for some shapes. Rounding to ``dtype`` and computing in
+            # f32 produces the same products the MXU computes (bf16 products
+            # are exact in f32; accumulation is f32 on both paths).
+            return jnp.dot(a.astype(dtype).astype(f32),
+                           b.astype(dtype).astype(f32),
+                           preferred_element_type=f32)
         return jnp.dot(a.astype(dtype), b.astype(dtype),
                        preferred_element_type=f32)
 
@@ -170,7 +179,7 @@ def _kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("num_layers", "use_layernorm", "batch_tile", "dtype",
-                     "io_dtype", "with_residual", "interpret"),
+                     "io_dtype", "with_residual", "interpret", "emulate"),
 )
 def fused_vae_gate(
     params: Dict,
@@ -183,6 +192,7 @@ def fused_vae_gate(
     io_dtype=None,
     with_residual: bool = True,
     interpret: bool = False,
+    emulate: bool = False,
 ) -> Tuple[jax.Array, jax.Array | None]:
     """Fused deterministic VAE pass: returns (mse [N], residual [N, T, D] | None).
 
@@ -223,7 +233,8 @@ def fused_vae_gate(
     weights = [jnp.asarray(x, jnp.float32) for x in weights]
     w_specs = [full(x.shape) for x in weights]
 
-    kernel = functools.partial(_kernel, T=T, H=H, num_layers=num_layers,
+    kernel = functools.partial(_kernel, emulate=emulate,
+                               T=T, H=H, num_layers=num_layers,
                                use_layernorm=use_layernorm, dtype=dtype)
     mse_spec = pl.BlockSpec((1, batch_tile), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
