@@ -199,13 +199,16 @@ def plot_latent_pca(mu: np.ndarray, labels: np.ndarray, label_names: Sequence[st
 
 def plot_cm_grid(cms: Dict[str, np.ndarray], labels: Sequence[str], out_dir,
                  file_stem: str, cmaps: Optional[Sequence[str]] = None) -> None:
-    """Grid of row-normalized CMs, one colormap per model
-    (Codes/11_generate_hybrid_pipeline_plot.py:93-150)."""
+    """Grid of row-normalized CMs, one colormap per model, in the reference's
+    exact per-model sequence (Codes/11_generate_hybrid_pipeline_plot.py:14-23,
+    93-150: Greens/Purples/Greys/PuRd/Reds/Blues/... for CNN/CART/RF/GB/HGB/
+    SVM_RBF)."""
     names = list(cms)
     n = len(names)
     ncols = min(3, n)
     nrows = -(-n // ncols)
-    default_cmaps = ["Blues", "Greens", "Purples", "Greys", "PuRd", "Reds", "Oranges"]
+    default_cmaps = ["Greens", "Purples", "Greys", "PuRd", "Reds", "Blues",
+                     "Oranges", "YlGnBu"]
     cmaps = list(cmaps or default_cmaps)
     fig, axes = plt.subplots(nrows, ncols, figsize=(4.6 * ncols, 4.2 * nrows))
     axes = np.atleast_1d(axes).ravel()
@@ -230,9 +233,15 @@ def plot_cm_grid(cms: Dict[str, np.ndarray], labels: Sequence[str], out_dir,
     plt.close(fig)
 
 
+# fixed per-model bar colors (Codes/11_generate_hybrid_pipeline_plot.py:25-32)
+MODEL_BAR_COLORS = ["#4C78A8", "#F58518", "#54A24B", "#E45756",
+                    "#72B7B2", "#B279A2"]
+
+
 def plot_metrics_bar(metrics: Dict[str, Dict[str, float]], out_dir, file_stem: str,
                      metric_names: Optional[Sequence[str]] = None) -> None:
-    """Grouped per-model metric bars (Codes/11_...py:153-223)."""
+    """Grouped per-model metric bars with the reference's fixed model colors
+    (Codes/11_...py:153-223)."""
     models = list(metrics)
     metric_names = list(metric_names or next(iter(metrics.values())).keys())
     x = np.arange(len(metric_names))
@@ -240,7 +249,8 @@ def plot_metrics_bar(metrics: Dict[str, Dict[str, float]], out_dir, file_stem: s
     fig, ax = plt.subplots(figsize=(1.8 * len(metric_names) + 3, 5.2))
     for i, m in enumerate(models):
         vals = [metrics[m].get(k, 0.0) for k in metric_names]
-        ax.bar(x + i * width, vals, width, label=m)
+        ax.bar(x + i * width, vals, width, label=m,
+               color=MODEL_BAR_COLORS[i % len(MODEL_BAR_COLORS)])
     ax.set_xticks(x + width * (len(models) - 1) / 2, metric_names, fontsize=12)
     configure_axis(ax, "", "Score", 14)
     ax.set_ylim(0, 1.05)
