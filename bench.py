@@ -1,13 +1,20 @@
 """Benchmark: 4DOF hybrid VAE+CNN inference throughput (windows/sec/chip).
 
 Workload mirrors the reference's north-star path (BASELINE.md): the full 4DOF
-hybrid test set — 5,440 windows of (100, 12) — through gate (LSTM-VAE recon MSE vs
-threshold) + attribution (CNN on [Z, residual]). The baseline denominator is the
+hybrid test set — 5,440 windows of (100, 12) — through gate (LSTM-VAE recon MSE
+vs threshold) + attribution (CNN on [Z, residual]). Runs the TRAINED committed
+artifacts (data/4dof/models/*.msgpack, normal_stats.npz, vae_threshold.json) on
+the REAL test windows (test fraction (0.7, 1.0) of every committed run, as in
+4DOF/Scripts/06_test_full_pipeline.py:39); falls back to random-init params on
+synthetic windows when artifacts are absent. The baseline denominator is the
 reference's own algorithm (torch CPU, double VAE forward + CNN on anomalies,
 faithful to 4DOF/Scripts/06_test_full_pipeline.py:327-383), measured live on a
 subsample and scaled.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line. Required keys: {"metric", "value", "unit",
+"vs_baseline"}; extra keys carry FLOP accounting: "flops_per_window", "mfu"
+(end-to-end, vs v5e bf16 peak), and "device_side_windows_per_sec"/"device_mfu"
+(4x workload, remote-dispatch floor amortized — ROADMAP item 3).
 """
 
 from __future__ import annotations
@@ -22,49 +29,129 @@ N_WINDOWS = 5440
 SEQ_LEN = 100
 NUM_FEATURES = 12
 REPEATS = 20
+V5E_BF16_PEAK_FLOPS = 197e12   # per-chip bf16 peak, TPU v5e
 
 
-def build_workload(rng: np.random.Generator) -> np.ndarray:
-    return rng.normal(size=(N_WINDOWS, SEQ_LEN, NUM_FEATURES)).astype(np.float32)
+def hybrid_flops_per_window(T=SEQ_LEN, D=NUM_FEATURES, H=128, Z=16) -> float:
+    """Analytic FLOPs of one fused hybrid pass per window (deterministic VAE
+    z=mu + CNN attribution; matmul/conv FLOPs only, elementwise excluded)."""
+    enc = T * (2 * 4 * H * (D + H) + 2 * 4 * H * 2 * H)      # 2 LSTM layers
+    heads = 2 * (Z * H + H * Z)                               # mu + z2h
+    dec = 2 * 4 * H * H + T * (2 * 4 * H * H + 2 * 4 * H * 2 * H
+                               + 2 * D * H)                   # const in + scan + head
+    # CNN4DOF: conv3x3(2->16) @ (T,D); pool; conv3x3(16->32) @ (T/2,D/2);
+    # pool; fc (32*T/4*D/4 -> 128) + fc (128 -> 2)
+    conv1 = 2 * T * D * 16 * 3 * 3 * 2
+    conv2 = 2 * (T // 2) * (D // 2) * 32 * 3 * 3 * 16
+    fc = 2 * (32 * (T // 4) * (D // 4)) * 128 + 2 * 128 * 2
+    return float(enc + heads + dec + conv1 + conv2 + fc)
 
 
-def bench_jax(W: np.ndarray) -> float:
+def load_trained_workload():
+    """(vae, cnn, vae_params, cnn_vars, W, mean, std, thr) from the committed
+    trained artifacts + real test windows, or None if absent."""
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent / "data" / "4dof"
+    if not (root / "models" / "temporal_vae.msgpack").exists():
+        return None
+    import jax
+    import jax.numpy as jnp
+
+    from shm_tpu.cli.stage4dof import (
+        Paths, _load_stats, _load_vae, build_fraction_windows,
+    )
+    from shm_tpu.config import Stage4DofConfig
+    from shm_tpu.models import CNN4DOF
+    from shm_tpu.utils.checkpoint import load_params
+    from shm_tpu.utils.io import load_json
+
+    cfg = Stage4DofConfig()
+    paths = Paths(str(root))
+    splits = load_json(paths.run_splits)
+    mean, std = _load_stats(paths)
+    vae, vae_params = _load_vae(paths, cfg)
+    cnn = CNN4DOF(dropout=cfg.cnn.dropout, dtype=jnp.bfloat16)
+    template = cnn.init({"params": jax.random.PRNGKey(0)},
+                        jnp.zeros((2, cfg.seq_len, cfg.num_features, 2)))
+    cnn_vars = load_params(template, paths.models / "cnn.msgpack")
+    thr = float(load_json(paths.processed / "vae_threshold.json")["threshold"])
+
+    frac = cfg.test_frac
+    groups = []
+    for g in ("normal", "sensor_fault", "structural_fault"):
+        files = splits.get(g, {}).get("files", [])
+        if files:
+            groups.append(build_fraction_windows(files, frac, cfg))
+    W = np.concatenate(groups).astype(np.float32)
+    return vae, cnn, vae_params, cnn_vars, W, mean, std, thr
+
+
+def random_workload():
     import jax
     import jax.numpy as jnp
 
     from shm_tpu.config import Stage4DofConfig
     from shm_tpu.models import vae_from_config, CNN4DOF
-    from shm_tpu.pipeline import make_hybrid_fn
 
     cfg = Stage4DofConfig()
     vae = vae_from_config(cfg.vae)
     cnn = CNN4DOF(dropout=cfg.cnn.dropout, dtype=jnp.bfloat16)
-
     key = jax.random.PRNGKey(0)
-    vae_params = vae.init({"params": key}, jnp.zeros((2, SEQ_LEN, NUM_FEATURES)))["params"]
-    cnn_vars = cnn.init({"params": key}, jnp.zeros((2, SEQ_LEN, NUM_FEATURES, 2)))
+    vae_params = vae.init({"params": key},
+                          jnp.zeros((2, SEQ_LEN, NUM_FEATURES)))["params"]
+    cnn_vars = cnn.init({"params": key},
+                        jnp.zeros((2, SEQ_LEN, NUM_FEATURES, 2)))
+    W = np.random.default_rng(0).normal(
+        size=(N_WINDOWS, SEQ_LEN, NUM_FEATURES)).astype(np.float32)
+    mean = np.zeros((NUM_FEATURES,), np.float32)
+    std = np.ones((NUM_FEATURES,), np.float32)
+    return vae, cnn, vae_params, cnn_vars, W, mean, std, 1.2814
 
-    mean = jnp.zeros((NUM_FEATURES,), jnp.float32)
-    std = jnp.ones((NUM_FEATURES,), jnp.float32)
-    thr = jnp.float32(1.2814)
+
+def bench_jax(workload) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from shm_tpu.pipeline import make_hybrid_fn
+
+    vae, cnn, vae_params, cnn_vars, W, mean, std, thr = workload
+    # pad/trim to the canonical 5,440-window workload so rates are comparable
+    if W.shape[0] < N_WINDOWS:
+        reps = -(-N_WINDOWS // W.shape[0])
+        W = np.concatenate([W] * reps)
+    W = W[:N_WINDOWS]
+
+    mean = jnp.asarray(mean)
+    std = jnp.asarray(std)
+    thr = jnp.float32(thr)
+    # msgpack-loaded params are host numpy arrays — device_put ONCE, or every
+    # call re-uploads them through the tunnel (measured: 30k vs 171k win/s)
+    vae_params = jax.device_put(vae_params)
+    cnn_vars = jax.device_put(cnn_vars)
 
     # fused Pallas VAE kernel (bf16 MXU) — verified against the XLA path on
     # trained artifacts: 100% gate/prediction agreement, <2e-4 rel MSE diff
     fn = make_hybrid_fn(vae, cnn, use_fused_vae=True, fused_dtype=jnp.bfloat16)
-    Wd = jax.device_put(jnp.asarray(W))
 
-    out = fn(vae_params, cnn_vars, Wd, mean, std, thr)   # compile
-    float(out.mse.sum())                                 # force completion
+    def rate_for(Wn: np.ndarray, repeats: int) -> float:
+        Wd = jax.device_put(jnp.asarray(Wn))
+        out = fn(vae_params, cnn_vars, Wd, mean, std, thr)   # compile
+        float(out.mse.sum())                                 # force completion
+        # NOTE: a host readback per repeat is required for honest timing — on
+        # the remote-tunneled TPU platform block_until_ready returns before
+        # execution finishes; only a device->host fetch proves completion.
+        t0 = time.perf_counter()
+        for _ in range(repeats):
+            out = fn(vae_params, cnn_vars, Wd, mean, std, thr)
+            float(out.mse.sum())
+        dt = (time.perf_counter() - t0) / repeats
+        return Wn.shape[0] / dt
 
-    # NOTE: a host readback per repeat is required for honest timing — on the
-    # remote-tunneled TPU platform block_until_ready returns before execution
-    # finishes, so only a device->host fetch proves the step completed.
-    t0 = time.perf_counter()
-    for _ in range(REPEATS):
-        out = fn(vae_params, cnn_vars, Wd, mean, std, thr)
-        float(out.mse.sum())
-    dt = (time.perf_counter() - t0) / REPEATS
-    return N_WINDOWS / dt
+    e2e = rate_for(W, REPEATS)
+    # device-side estimate: 4x workload amortizes the remote-dispatch floor
+    dev = rate_for(np.concatenate([W] * 4), max(REPEATS // 4, 3))
+    return {"end_to_end": e2e, "device_side": dev}
 
 
 def bench_torch_cpu(W: np.ndarray, n_sub: int = 1088) -> float:
@@ -142,19 +229,33 @@ def bench_torch_cpu(W: np.ndarray, n_sub: int = 1088) -> float:
 
 
 def main() -> None:
-    rng = np.random.default_rng(0)
-    W = build_workload(rng)
-    jax_rate = bench_jax(W)
+    workload = None
     try:
-        torch_rate = bench_torch_cpu(W)
+        workload = load_trained_workload()
+    except Exception:
+        workload = None
+    trained = workload is not None
+    if workload is None:
+        workload = random_workload()
+
+    rates = bench_jax(workload)
+    try:
+        torch_rate = bench_torch_cpu(np.asarray(workload[4][:1088]))
     except Exception:
         torch_rate = float("nan")
-    vs = jax_rate / torch_rate if torch_rate == torch_rate else None
+    vs = rates["end_to_end"] / torch_rate if torch_rate == torch_rate else None
+
+    fpw = hybrid_flops_per_window()
     print(json.dumps({
         "metric": "4dof_hybrid_inference_windows_per_sec",
-        "value": round(jax_rate, 2),
+        "value": round(rates["end_to_end"], 2),
         "unit": "windows/sec/chip",
         "vs_baseline": round(vs, 2) if vs is not None else None,
+        "trained_artifacts": trained,
+        "flops_per_window": fpw,
+        "mfu": round(rates["end_to_end"] * fpw / V5E_BF16_PEAK_FLOPS, 4),
+        "device_side_windows_per_sec": round(rates["device_side"], 2),
+        "device_mfu": round(rates["device_side"] * fpw / V5E_BF16_PEAK_FLOPS, 4),
     }))
 
 

@@ -12,13 +12,13 @@ Optimizer-semantics notes (to match torch):
   before the moment updates -> ``clip_by_global_norm -> add_decayed_weights ->
   scale_by_adam -> scale(-lr)``.
 
-Execution structure (v5e-measured): the epoch loop dispatches one jitted step
-per batch (a ``lax.scan`` carrying the param/optimizer pytree is ~5x slower —
-every carry buffer is copied per iteration); shuffling/batching/ragged-tail
-masking happen in a jitted prologue. ``fused_epochs=True`` packs the whole
-multi-epoch run into one device program (bit-identical trajectory), and
+Execution structure (v5e-measured, 50-epoch 4DOF recipe): the whole run as
+ONE fused device program (scan over epochs, bit-identical trajectory to the
+loop) is the TPU default — 1.7x the per-batch loop (15.9s vs 27.0s); the
+per-batch epoch loop remains for mid-training checkpointing and CPU tests.
 ``use_pallas_kernel=True`` swaps the forward/backward onto the custom-VJP
-fused LSTM kernels (shm_tpu.ops.lstm_train).
+fused LSTM kernels (shm_tpu.ops.lstm_train) for another ~11% (14.2s/50
+epochs; 69x the torch-CPU reference).
 """
 
 from __future__ import annotations
@@ -104,12 +104,12 @@ def train_vae(
 ) -> VAETrainResult:
     """Train a TemporalVAE on normalized windows; returns best-val params + history.
 
-    ``fused_epochs=True``: run the WHOLE multi-epoch training as one jitted
+    ``fused_epochs``: run the WHOLE multi-epoch training as one jitted
     ``lax.scan`` over epochs, with best-val selection on device — one dispatch
-    + one host fetch for the entire run. Produces bit-identical trajectories to
-    the default epoch loop (same precomputed per-epoch keys). Off by default:
-    on v5e the epoch compute dominates, so this mainly trades compile time for
-    removing per-epoch dispatch latency.
+    + one host fetch for the entire run. Produces bit-identical trajectories
+    to the epoch loop (same precomputed per-epoch keys; pinned by
+    tests/test_fused_epochs.py). Default (None): on for TPU backends unless
+    mid-training checkpointing is requested, off on CPU.
 
     ``Ztr``/``Zva``: (N, T, D) normalized window stacks (already on device or host).
 
@@ -240,10 +240,14 @@ def train_vae(
     # one host fetch. Used when nothing needs per-epoch host control (no
     # mid-training checkpointing). -----
     if fused_epochs is None:
-        # measured on v5e: per-epoch compute (~0.65s) dominates, so fusing the
-        # epoch loop into one program saves no runtime while multiplying compile
-        # cost — opt-in only.
-        fused_epochs = False
+        # v5e, 50-epoch 4DOF recipe (tools/bench_train.py, round 2): the fused
+        # whole-run program is 1.7x the per-batch loop (15.9s vs 27.0s; 14.2s
+        # with the Pallas kernel) AND compiles faster, with a bit-identical
+        # trajectory — so it is the default wherever per-epoch host control
+        # isn't needed (checkpointing falls back to the loop below). CPU keeps
+        # the loop: the whole-run compile dominates small test workloads.
+        fused_epochs = (checkpoint_dir is None
+                        and jax.default_backend() in ("tpu", "axon"))
     # per-epoch keys are derived identically in BOTH paths (all from the initial
     # root), so a fused run, a loop run, and a checkpointed/resumed run produce
     # bit-identical training trajectories.
@@ -302,12 +306,10 @@ def train_vae(
             best_val=best_val, best_epoch=best_epoch, seconds=seconds,
         )
 
-    # --- per-batch stepping for the epoch loop ---
-    # Measured on v5e: a lax.scan over batches that carries the full
-    # (params, opt_state) pytree runs ~5x slower than the SAME math dispatched
-    # one jitted step per batch (scan double-buffers every carry buffer each
-    # iteration). The stepwise path below reproduces train_epoch_core's key
-    # derivation and batch order exactly (fused/loop/resume stay bit-identical).
+    # --- per-batch stepping for the epoch loop (checkpointing / CPU path) ---
+    # Reproduces train_epoch_core's key derivation and batch order exactly, so
+    # fused/loop/resume runs stay bit-identical; needed whenever per-epoch host
+    # control (mid-training checkpoints) is requested.
     @jax.jit
     def batch_step(params, opt_state, Ztr, bidx, bmask, bk, kl_w):
         xb = Ztr[bidx]
