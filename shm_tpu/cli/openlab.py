@@ -294,7 +294,16 @@ def _sf_st_split_data(Xr, meta, split, split_name: str):
     return Xr[keep], y
 
 
-def cmd_train_cnn(paths: Paths, cfg: OpenLabConfig, epochs: Optional[int] = None) -> None:
+def cmd_train_cnn(paths: Paths, cfg: OpenLabConfig, epochs: Optional[int] = None,
+                  quality: bool = False, n_seeds: int = 3) -> None:
+    """Train the SF-vs-ST CNN (Codes/06_train_cnn.py recipe).
+
+    ``quality=True`` (beyond-reference, flag-gated): the per-epoch VAL ST-F2
+    used for checkpoint selection is noisy (weak labels, 2 val runs, weighted
+    resampling), so train ``n_seeds`` independent seeds with longer patience
+    (40 vs 25) and keep the single model with the best tuned VAL ST-F2 —
+    artifact layout unchanged. Default (off) reproduces the reference recipe.
+    """
     _, Xr, meta = _load_extracted(paths)
     split = load_json(paths.extracted / "run_split.json")
 
@@ -328,9 +337,25 @@ def cmd_train_cnn(paths: Paths, cfg: OpenLabConfig, epochs: Optional[int] = None
     tcfg = cfg.cnn_train if epochs is None else replace(cfg.cnn_train, epochs=epochs)
     tcfg = replace(tcfg, batch_size=128)  # 06_train_cnn.py:52
     model = CNNOpenLab(dropout=cfg.cnn.dropout)
-    res = train_cnn(model, Xtr_s, ytr, Xva_s, yva, tcfg, loss="focal",
-                    focal_gamma=cfg.focal_gamma, class_alpha=alpha,
-                    sample_weights=weights, val_metric_fn=st_f2_metric, log_every=1)
+    if quality:
+        tcfg = replace(tcfg, early_stop_patience=40)
+        results = []
+        for s in range(n_seeds):
+            r = train_cnn(model, Xtr_s, ytr, Xva_s, yva,
+                          replace(tcfg, seed=tcfg.seed + s), loss="focal",
+                          focal_gamma=cfg.focal_gamma, class_alpha=alpha,
+                          sample_weights=weights, val_metric_fn=st_f2_metric,
+                          log_every=0)
+            print(f"[quality] seed {tcfg.seed + s}: ST-F2={r.best_metric:.4f} "
+                  f"@ epoch {r.best_epoch} (stopped {r.stopped_epoch})")
+            results.append(r)
+        res = max(results, key=lambda r: r.best_metric)
+        res.seconds = sum(r.seconds for r in results)
+    else:
+        res = train_cnn(model, Xtr_s, ytr, Xva_s, yva, tcfg, loss="focal",
+                        focal_gamma=cfg.focal_gamma, class_alpha=alpha,
+                        sample_weights=weights, val_metric_fn=st_f2_metric,
+                        log_every=1)
 
     save_params(res.variables, art / "cnn_model_openlab.msgpack")
     probs = predict_probs(model, res.variables, Xva_s)
@@ -344,7 +369,9 @@ def cmd_train_cnn(paths: Paths, cfg: OpenLabConfig, epochs: Optional[int] = None
         "train_seconds": res.seconds,
         "settings": {"P_MIN_ST": cfg.st_precision_floor, "BETA_FOR_F2_ST": 2.0,
                      "CLIP_Z": cfg.standardize_clip,
-                     "THRESH_GRID": cfg.threshold_grid_points},
+                     "THRESH_GRID": cfg.threshold_grid_points,
+                     "quality_mode": quality,
+                     "n_seeds": n_seeds if quality else 1},
         "alpha": alpha.tolist(),
     }
     save_json(info, art / "cnn_training_info.json")
@@ -668,6 +695,11 @@ def main(argv=None) -> None:
     ap.add_argument("--host-ml", action="store_true",
                     help="force sklearn host inference for tree models in "
                          "test-hybrid (default: on-device)")
+    ap.add_argument("--quality", action="store_true",
+                    help="train-cnn: beyond-reference quality mode (multi-seed"
+                         " + longer patience, best VAL ST-F2 model kept)")
+    ap.add_argument("--seeds", type=int, default=3,
+                    help="number of seeds for --quality (default 3)")
     args = ap.parse_args(argv)
 
     raw_dir = args.raw_dir or default_openlab_raw_dir()
@@ -680,7 +712,9 @@ def main(argv=None) -> None:
         "featurize": lambda: cmd_featurize(paths, cfg),
         "train-vae": lambda: cmd_train_vae(paths, cfg, args.epochs),
         "validate-vae": lambda: cmd_validate_vae(paths, cfg),
-        "train-cnn": lambda: cmd_train_cnn(paths, cfg, args.epochs),
+        "train-cnn": lambda: cmd_train_cnn(paths, cfg, args.epochs,
+                                           quality=args.quality,
+                                           n_seeds=args.seeds),
         "validate-cnn": lambda: cmd_validate_cnn(paths, cfg, args.split or "val"),
         "train-ml": lambda: cmd_train_ml(paths, cfg),
         "validate-ml": lambda: cmd_validate_ml(paths, cfg, args.split or "val"),
