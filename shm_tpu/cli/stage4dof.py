@@ -228,7 +228,8 @@ def build_fraction_windows(files: List[str], frac, cfg: Stage4DofConfig) -> np.n
     return np.concatenate(out).astype(np.float32)
 
 
-def cmd_train_vae(paths: Paths, cfg: Stage4DofConfig, epochs: int | None = None) -> None:
+def cmd_train_vae(paths: Paths, cfg: Stage4DofConfig, epochs: int | None = None,
+                  seed: int | None = None, kernel: bool | None = None) -> None:
     splits = load_json(paths.run_splits)
     normal_files = splits["normal"]["files"]
 
@@ -249,8 +250,15 @@ def cmd_train_vae(paths: Paths, cfg: Stage4DofConfig, epochs: int | None = None)
     Zva = np.asarray(normalize_windows(jnp.asarray(Wva), mean, std))
 
     tcfg = cfg.vae_train if epochs is None else replace(cfg.vae_train, epochs=epochs)
+    if seed is not None:
+        tcfg = replace(tcfg, seed=seed)
     vae = vae_from_config(cfg.vae)
-    res = train_vae(vae, Ztr, Zva, tcfg, log_every=1)
+    if kernel is None:
+        # default: the custom-VJP fused LSTM training kernels on TPU backends
+        # (fastest path; equivalent RNG stream, seed-stability table in
+        # BENCHMARKS.md). CPU keeps the XLA path (no Mosaic compiler there).
+        kernel = jax.default_backend() in ("tpu", "axon")
+    res = train_vae(vae, Ztr, Zva, tcfg, log_every=1, use_pallas_kernel=kernel)
 
     save_params({"params": res.params}, paths.models / "temporal_vae.msgpack")
     meta = {
@@ -383,7 +391,8 @@ def _cnn_inputs(vae, vae_params, Z: np.ndarray, batch: int = 4096) -> np.ndarray
     return np.concatenate(outs) if outs else np.zeros((0,) + Z.shape[1:] + (2,), np.float32)
 
 
-def cmd_train_cnn(paths: Paths, cfg: Stage4DofConfig, epochs: int | None = None) -> None:
+def cmd_train_cnn(paths: Paths, cfg: Stage4DofConfig, epochs: int | None = None,
+                  seed: int | None = None) -> None:
     splits = load_json(paths.run_splits)
     mean, std = _load_stats(paths)
     vae, vae_params = _load_vae(paths, cfg)
@@ -405,6 +414,8 @@ def cmd_train_cnn(paths: Paths, cfg: Stage4DofConfig, epochs: int | None = None)
     ytr, yva = sets["train"][1], sets["val"][1]
 
     tcfg = cfg.cnn_train if epochs is None else replace(cfg.cnn_train, epochs=epochs)
+    if seed is not None:
+        tcfg = replace(tcfg, seed=seed)
     cnn = CNN4DOF(dropout=cfg.cnn.dropout)
     res = train_cnn(cnn, Xtr, ytr, Xva, yva, tcfg, log_every=1)
 
@@ -581,6 +592,13 @@ def main(argv=None) -> None:
     ap.add_argument("--no-plots", action="store_true")
     ap.add_argument("--sample", action="store_true",
                     help="stochastic VAE eval (reference parity) for threshold")
+    ap.add_argument("--seed", type=int, default=None,
+                    help="override training seed (train commands)")
+    ap.add_argument("--kernel", dest="kernel", action="store_true", default=None,
+                    help="train-vae: force the Pallas custom-VJP training "
+                         "kernels (default: auto — on for TPU backends)")
+    ap.add_argument("--no-kernel", dest="kernel", action="store_false",
+                    help="train-vae: force the XLA training path")
     args = ap.parse_args(argv)
 
     cfg = Stage4DofConfig()
@@ -591,9 +609,12 @@ def main(argv=None) -> None:
         "gen-normal": lambda: cmd_gen_normal(paths, cfg, plot),
         "gen-faults": lambda: cmd_gen_faults(paths, cfg, plot),
         "make-splits": lambda: cmd_make_splits(paths, cfg),
-        "train-vae": lambda: cmd_train_vae(paths, cfg, args.epochs),
+        "train-vae": lambda: cmd_train_vae(paths, cfg, args.epochs,
+                                           seed=args.seed,
+                                           kernel=args.kernel),
         "threshold": lambda: cmd_threshold(paths, cfg, args.sample),
-        "train-cnn": lambda: cmd_train_cnn(paths, cfg, args.epochs),
+        "train-cnn": lambda: cmd_train_cnn(paths, cfg, args.epochs,
+                                           seed=args.seed),
         "test-pipeline": lambda: cmd_test_pipeline(paths, cfg),
     }
     if args.command == "all":

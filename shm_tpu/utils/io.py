@@ -66,11 +66,21 @@ def load_csv(path: str | Path):
 
 
 def load_csv_numeric(path: str | Path, num_features: int | None = None) -> np.ndarray:
-    """Numeric CSV loader with shape guard (4DOF/Scripts/03_train_vae.py:81-87)."""
+    """Numeric CSV loader with shape guard (4DOF/Scripts/03_train_vae.py:81-87).
+
+    Parses with pandas' C engine (~10x np.loadtxt — the reference's parser;
+    host CSV parsing dominated CLI wall time otherwise) and falls back to
+    np.loadtxt if pandas is unavailable.
+    """
     p = Path(path)
     if not p.exists():
         raise FileNotFoundError(f"Missing CSV: {p}")
-    X = np.loadtxt(str(p), delimiter=",", skiprows=1).astype(np.float32)
+    try:
+        import pandas as pd
+
+        X = pd.read_csv(p, dtype=np.float32).to_numpy()
+    except ImportError:
+        X = np.loadtxt(str(p), delimiter=",", skiprows=1).astype(np.float32)
     if X.ndim != 2 or (num_features is not None and X.shape[1] != num_features):
         raise ValueError(f"Bad CSV shape in {p}: {X.shape}")
     return X
