@@ -345,17 +345,20 @@ def cmd_train_cnn(paths: Paths, cfg: OpenLabConfig, epochs: Optional[int] = None
                           replace(tcfg, seed=tcfg.seed + s), loss="focal",
                           focal_gamma=cfg.focal_gamma, class_alpha=alpha,
                           sample_weights=weights, val_metric_fn=st_f2_metric,
-                          log_every=0)
+                          log_every=0, fused_epoch=False)
             print(f"[quality] seed {tcfg.seed + s}: ST-F2={r.best_metric:.4f} "
                   f"@ epoch {r.best_epoch} (stopped {r.stopped_epoch})")
             results.append(r)
         res = max(results, key=lambda r: r.best_metric)
         res.seconds = sum(r.seconds for r in results)
     else:
+        # fused_epoch=False: this model's (7,3)/(5,3) convs inside a scan
+        # take ~300s to compile remotely, dwarfing the whole loop-path run
+        # (106s); measured round 2 — see BENCHMARKS.md.
         res = train_cnn(model, Xtr_s, ytr, Xva_s, yva, tcfg, loss="focal",
                         focal_gamma=cfg.focal_gamma, class_alpha=alpha,
                         sample_weights=weights, val_metric_fn=st_f2_metric,
-                        log_every=1)
+                        log_every=1, fused_epoch=False)
 
     save_params(res.variables, art / "cnn_model_openlab.msgpack")
     probs = predict_probs(model, res.variables, Xva_s)

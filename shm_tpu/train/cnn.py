@@ -79,9 +79,18 @@ def train_cnn(
     checkpoint_dir: Optional[str] = None,
     checkpoint_every: int = 0,
     resume: bool = True,
+    fused_epoch: Optional[bool] = None,
 ) -> CNNTrainResult:
     """Train a CNN classifier; select best epoch by val loss (default) or by
     ``val_metric_fn(probs, yva)`` (higher wins) when given.
+
+    ``fused_epoch``: run each epoch (batch loop + val pass) as ONE device
+    program — one dispatch + one host fetch per epoch instead of one per
+    batch. Same math, key derivation and batch order as the per-batch loop
+    (only last-bit XLA fusion rounding differs; pinned by
+    tests/test_train.py); early stopping and the host-side val metric keep
+    their per-epoch semantics either way. Default (None): on for TPU
+    backends, off on CPU.
 
     ``checkpoint_dir``/``checkpoint_every`` enable full-state mid-training
     checkpointing with exact resume (see shm_tpu.train.checkpoint)."""
@@ -161,6 +170,24 @@ def train_cnn(
         return (params, batch_stats, opt_state,
                 jnp.stack(ls).sum() / jnp.maximum(jnp.stack(ns).sum(), 1.0))
 
+    # fused per-epoch program: identical math/key derivation to the loop above,
+    # but the batch loop is a lax.scan inside ONE jitted call per epoch
+    @jax.jit
+    def fused_epoch_step(params, batch_stats, opt_state, Xtr, ytr, Xva, yva_j, key):
+        idx, mask, bkeys = epoch_prologue(key)
+
+        def body(carry, inp):
+            p, bst, s = carry
+            bidx, bmask, bk = inp
+            p, bst, s, l, n = batch_step(p, bst, s, Xtr, ytr, bidx, bmask, bk)
+            return (p, bst, s), (l, n)
+
+        (params, batch_stats, opt_state), (ls, ns) = jax.lax.scan(
+            body, (params, batch_stats, opt_state), (idx, mask, bkeys))
+        tl = ls.sum() / jnp.maximum(ns.sum(), 1.0)
+        vl, vprobs = val_epoch(params, batch_stats, Xva, yva_j)
+        return params, batch_stats, opt_state, tl, vl, vprobs
+
     nvb, vpad = _batch_plan(Xva.shape[0], bs)
 
     @jax.jit
@@ -224,11 +251,18 @@ def train_cnn(
 
     t0 = time.perf_counter()
 
+    if fused_epoch is None:
+        fused_epoch = jax.default_backend() in ("tpu", "axon")
+
     for epoch in range(start_epoch, cfg.epochs + 1):
         root, ke = jax.random.split(root)
-        params, batch_stats, opt_state, tl = train_epoch(
-            params, batch_stats, opt_state, Xtr, ytr, ke)
-        vl, vprobs = val_epoch(params, batch_stats, Xva, yva_j)
+        if fused_epoch:
+            params, batch_stats, opt_state, tl, vl, vprobs = fused_epoch_step(
+                params, batch_stats, opt_state, Xtr, ytr, Xva, yva_j, ke)
+        else:
+            params, batch_stats, opt_state, tl = train_epoch(
+                params, batch_stats, opt_state, Xtr, ytr, ke)
+            vl, vprobs = val_epoch(params, batch_stats, Xva, yva_j)
         # one host fetch per epoch (RPC round trips are expensive on the
         # tunneled TPU platform)
         tl, vl_f, vprobs_h = jax.device_get((tl, vl, vprobs))

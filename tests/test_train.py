@@ -128,3 +128,38 @@ def test_train_cnn_weighted_sampling_and_focal(cnn_toy_data):
                     sample_weights=sw)
     assert np.isfinite(res.history["train_loss"]).all()
     assert res.history["train_loss"][-1] < res.history["train_loss"][0]
+
+
+def test_train_cnn_fused_epoch_matches_loop(cnn_toy_data):
+    """The one-dispatch-per-epoch program runs the same math in the same
+    order as the per-batch loop (same key derivation / batch order).
+
+    With lr=0 the two paths must agree tightly (pure program equivalence:
+    forward, loss masking, BatchNorm stats — no optimizer state evolves).
+    With lr>0, last-bit XLA fusion rounding amplifies chaotically through
+    Adam, so only behavioral equivalence is asserted there."""
+    from shm_tpu.config import TrainConfig
+    from shm_tpu.models import CNN4DOF
+
+    X, y = cnn_toy_data
+    model = CNN4DOF(dropout=0.3)
+    cfg0 = TrainConfig(epochs=2, batch_size=32, lr=0.0, weight_decay=5e-5,
+                       grad_clip=2.0, seed=0, early_stop_patience=10)
+    loop = train_cnn(model, X[:80], y[:80], X[80:], y[80:], cfg0,
+                     fused_epoch=False)
+    fused = train_cnn(model, X[:80], y[:80], X[80:], y[80:], cfg0,
+                      fused_epoch=True)
+    np.testing.assert_allclose(loop.history["train_loss"],
+                               fused.history["train_loss"], rtol=1e-6)
+    np.testing.assert_allclose(loop.history["val_loss"],
+                               fused.history["val_loss"], rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(loop.variables),
+                    jax.tree.leaves(fused.variables)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    cfg3 = TrainConfig(epochs=3, batch_size=32, lr=1e-3, weight_decay=5e-5,
+                       grad_clip=2.0, seed=0, early_stop_patience=10)
+    f3 = train_cnn(model, X[:80], y[:80], X[80:], y[80:], cfg3,
+                   fused_epoch=True)
+    assert np.isfinite(f3.history["train_loss"]).all()
+    assert f3.history["train_loss"][-1] < f3.history["train_loss"][0]
