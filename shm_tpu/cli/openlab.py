@@ -546,9 +546,9 @@ STAGE2_MODELS: List[Tuple[str, Optional[str]]] = [
     ("ml", "svm_rbf"),
 ]
 
-# tree models whose inference runs on-device (shm_tpu.models.forest_jax);
-# svm_rbf keeps sklearn's (deprecated) libsvm Platt probabilities on host
-DEVICE_ML = {"cart", "rf", "gb", "hgb"}
+# models whose inference runs on-device: trees via shm_tpu.models.forest_jax,
+# svm_rbf via shm_tpu.models.svm_jax (exact libsvm Platt + coupling replica)
+DEVICE_ML = {"cart", "rf", "gb", "hgb", "svm_rbf"}
 
 
 def cmd_test_hybrid(paths: Paths, cfg: OpenLabConfig, split_name: str = "test",
@@ -603,15 +603,24 @@ def cmd_test_hybrid(paths: Paths, cfg: OpenLabConfig, split_name: str = "test",
                 mdl = joblib.load(mp)
                 Xa = X_feat[anomaly_mask]
                 if ml_name in DEVICE_ML and not host_ml:
-                    from shm_tpu.models.forest_jax import (
-                        ensemble_predict_proba, export_ensemble,
-                        transform_features,
-                    )
+                    from shm_tpu.models.forest_jax import transform_features
 
-                    ens = export_ensemble(mdl)
                     Xd = transform_features(mdl, Xa)
-                    prob_st = np.asarray(ensemble_predict_proba(ens, Xd),
-                                         np.float64)
+                    if ml_name == "svm_rbf":
+                        from shm_tpu.models.svm_jax import (
+                            export_svm, svm_predict_proba,
+                        )
+
+                        prob_st = np.asarray(
+                            svm_predict_proba(export_svm(mdl), Xd), np.float64)
+                    else:
+                        from shm_tpu.models.forest_jax import (
+                            ensemble_predict_proba, export_ensemble,
+                        )
+
+                        prob_st = np.asarray(
+                            ensemble_predict_proba(export_ensemble(mdl), Xd),
+                            np.float64)
                 else:
                     prob_st = get_prob_st(mdl, Xa)
                 thr2 = float(np.load(paths.ml_dir / "artifacts"

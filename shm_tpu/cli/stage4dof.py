@@ -313,14 +313,17 @@ def cmd_threshold(paths: Paths, cfg: Stage4DofConfig, sample: bool = False) -> N
     if Wn.shape[0] == 0:
         raise RuntimeError("No normal windows for threshold fit.")
 
-    def score(W):
-        if W.shape[0] == 0:
-            return np.zeros((0,), np.float32)
-        Z = normalize_windows(jnp.asarray(W), jnp.asarray(mean), jnp.asarray(std))
-        return reconstruction_mse(vae, vae_params, Z, sample=sample,
-                                  key=jax.random.PRNGKey(0))
-
-    s_n, s_s, s_st = score(Wn), score(Ws), score(Wst)
+    # ONE concatenated scoring program for all three groups: each distinct
+    # batch shape costs a fresh remote compile (30s-5min through the tunnel),
+    # so per-group calls triple both the dispatch floor and the compile count
+    Wall = np.concatenate([g for g in (Wn, Ws, Wst) if g.shape[0]]) \
+        if (Ws.shape[0] or Wst.shape[0]) else Wn
+    Zall = normalize_windows(jnp.asarray(Wall), jnp.asarray(mean), jnp.asarray(std))
+    s_all = reconstruction_mse(vae, vae_params, Zall, sample=sample,
+                               key=jax.random.PRNGKey(0))
+    s_n = s_all[: Wn.shape[0]]
+    s_s = s_all[Wn.shape[0]: Wn.shape[0] + Ws.shape[0]]
+    s_st = s_all[Wn.shape[0] + Ws.shape[0]:]
     thr = percentile_threshold(s_n, cfg.threshold_percentile)
 
     out = {
@@ -455,39 +458,41 @@ def cmd_test_pipeline(paths: Paths, cfg: Stage4DofConfig) -> None:
 
     groups = [("normal", 0, "normal/test"), ("sensor_fault", 1, "sensor/test"),
               ("structural_fault", 2, "struct/test")]
-    y_true, y_pred = [], []
-    gate_scores, gate_labels = [], []
-    hyb_scores, hyb_labels = [], []
-    gate_stats: Dict[str, Dict[str, float]] = {}
-    t0 = time.perf_counter()
-    n_windows = 0
-
+    group_W, group_meta = [], []
     for gname, gt, tag in groups:
         W = build_fraction_windows(splits[gname]["files"], cfg.test_frac, cfg)
         if W.shape[0] == 0:
             print(f"[WARN] {tag}: no test windows")
             continue
-        n_windows += W.shape[0]
-        out = run_hybrid_batched(hybrid, vae_params, cnn_vars, W, mean, std, thr)
-        y_true.append(np.full(W.shape[0], gt, np.int64))
-        y_pred.append(out["y_pred"].astype(np.int64))
-        gate_scores.append(out["mse"])
-        gate_labels.append(np.full(W.shape[0], 0 if gt == 0 else 1, np.int64))
-        hyb_scores.append(out["p_struct"])
-        hyb_labels.append(np.full(W.shape[0], 1 if gt == 2 else 0, np.int64))
-        anom = int(out["anomalous"].sum())
-        gate_stats[tag] = {"anom": float(anom), "total": float(W.shape[0]),
-                           "anom_rate": float(anom / W.shape[0])}
-        print(f"[gate] {tag}: anom_rate={anom / W.shape[0]:.3f} "
-              f"(anom={anom}/{W.shape[0]})")
+        group_W.append(W)
+        group_meta.append((gt, tag, W.shape[0]))
+    if not group_W:
+        raise RuntimeError("No test windows in any group.")
+    n_windows = sum(n for _, _, n in group_meta)
 
+    # ONE fused device program over all groups (distinct per-group batch
+    # shapes would each cost a fresh remote compile + dispatch floor)
+    t0 = time.perf_counter()
+    out = run_hybrid_batched(hybrid, vae_params, cnn_vars,
+                             np.concatenate(group_W), mean, std, thr)
     infer_seconds = time.perf_counter() - t0
-    y_true = np.concatenate(y_true)
-    y_pred = np.concatenate(y_pred)
-    gate_scores = np.concatenate(gate_scores)
-    gate_labels = np.concatenate(gate_labels)
-    hyb_scores = np.concatenate(hyb_scores)
-    hyb_labels = np.concatenate(hyb_labels)
+
+    y_true = np.concatenate([np.full(n, gt, np.int64)
+                             for gt, _, n in group_meta])
+    y_pred = out["y_pred"].astype(np.int64)
+    gate_scores = out["mse"]
+    gate_labels = (y_true != 0).astype(np.int64)
+    hyb_scores = out["p_struct"]
+    hyb_labels = (y_true == 2).astype(np.int64)
+
+    gate_stats: Dict[str, Dict[str, float]] = {}
+    ofs = 0
+    for gt, tag, n in group_meta:
+        anom = int(out["anomalous"][ofs:ofs + n].sum())
+        ofs += n
+        gate_stats[tag] = {"anom": float(anom), "total": float(n),
+                           "anom_rate": float(anom / n)}
+        print(f"[gate] {tag}: anom_rate={anom / n:.3f} (anom={anom}/{n})")
 
     acc = accuracy(y_true, y_pred)
     cm = confusion_matrix(y_true, y_pred, 3)
