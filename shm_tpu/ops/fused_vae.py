@@ -90,7 +90,7 @@ def _kernel(
     *refs,                     # L encoder triples, [ln pair,] mu/z2h pairs,
                                # L decoder triples, out pair, then out refs
     T: int, H: int, num_layers: int, use_layernorm: bool, dtype,
-    emulate: bool = False,
+    emulate: bool = False, skew: bool = False,
 ):
     it = iter(refs)
     enc = [(next(it), next(it), next(it)) for _ in range(num_layers)]
@@ -119,25 +119,52 @@ def _kernel(
                        preferred_element_type=f32)
 
     zeros = jnp.zeros((H, Bt), f32)
+    skew = skew and num_layers == 2 and T >= 3
 
-    # ----- encoder: all layers advance together inside one time loop -----
-    def enc_body(t, carry):
-        hs, cs = carry
-        inp = x_ref[t]                                        # [D, Bt]
-        new_h, new_c = [], []
-        for l, (wih, whh, b) in enumerate(enc):
-            g = mm(wih[:], inp) + mm(whh[:], hs[l]) + b[:]
-            h, c = _lstm_step(hs[l], cs[l], g, H)
-            new_h.append(h)
-            new_c.append(c)
-            inp = h
-        return tuple(new_h), tuple(new_c)
+    if skew:
+        # ----- layer-skewed encoder: L2 lags L1 by one step, so each
+        # iteration's L1 and L2 matmul groups are data-independent and the
+        # MXU/VPU can overlap them (the stacked form serializes
+        # L1 matmul -> act -> L2 matmul -> act per step). Same math, same
+        # f32 accumulation order — bit-identical to the stacked loop. -----
+        (w1ih, w1hh, b1), (w2ih, w2hh, b2) = enc
 
-    hs, _ = jax.lax.fori_loop(
-        0, T, enc_body, ((zeros,) * num_layers, (zeros,) * num_layers))
+        # peel: L1 step 0 (recurrent term is exactly zero at t=0)
+        g1 = mm(w1ih[:], x_ref[0]) + b1[:]
+        h1, c1 = _lstm_step(zeros, zeros, g1, H)
+
+        def enc_body_skew(t, carry):
+            h1, c1, h2, c2 = carry                 # h1(t-1), h2(t-2)
+            g2 = mm(w2ih[:], h1) + mm(w2hh[:], h2) + b2[:]   # L2 step t-1
+            g1 = mm(w1ih[:], x_ref[t]) + mm(w1hh[:], h1) + b1[:]  # L1 step t
+            h2n, c2n = _lstm_step(h2, c2, g2, H)
+            h1n, c1n = _lstm_step(h1, c1, g1, H)
+            return h1n, c1n, h2n, c2n
+
+        h1, c1, h2, c2 = jax.lax.fori_loop(
+            1, T, enc_body_skew, (h1, c1, zeros, zeros))
+        # flush: L2 step T-1
+        g2 = mm(w2ih[:], h1) + mm(w2hh[:], h2) + b2[:]
+        h_last, _ = _lstm_step(h2, c2, g2, H)
+    else:
+        # ----- encoder: all layers advance together inside one time loop -----
+        def enc_body(t, carry):
+            hs, cs = carry
+            inp = x_ref[t]                                    # [D, Bt]
+            new_h, new_c = [], []
+            for l, (wih, whh, b) in enumerate(enc):
+                g = mm(wih[:], inp) + mm(whh[:], hs[l]) + b[:]
+                h, c = _lstm_step(hs[l], cs[l], g, H)
+                new_h.append(h)
+                new_c.append(c)
+                inp = h
+            return tuple(new_h), tuple(new_c)
+
+        hs, _ = jax.lax.fori_loop(
+            0, T, enc_body, ((zeros,) * num_layers, (zeros,) * num_layers))
+        h_last = hs[-1]
 
     # ----- LayerNorm over H (sublane axis) + latent head (z = mu) -----
-    h_last = hs[-1]
     if use_layernorm:
         mean = jnp.mean(h_last, axis=0, keepdims=True)
         var = jnp.mean((h_last - mean) ** 2, axis=0, keepdims=True)
@@ -149,29 +176,64 @@ def _kernel(
     d0_wih, d0_whh, d0_b = dec[0]
     xp_const = mm(d0_wih[:], dec_in) + d0_b[:]                # [4H, Bt]
 
-    def dec_body(t, carry):
-        hs, cs, acc = carry
-        new_h, new_c = [], []
-        g = xp_const + mm(d0_whh[:], hs[0])
-        h, c = _lstm_step(hs[0], cs[0], g, H)
-        new_h.append(h)
-        new_c.append(c)
-        for l in range(1, num_layers):
-            wih, whh, b = dec[l]
-            g = mm(wih[:], new_h[-1]) + mm(whh[:], hs[l]) + b[:]
-            h, c = _lstm_step(hs[l], cs[l], g, H)
-            new_h.append(h)
-            new_c.append(c)
-        y_t = mm(out_w[:], new_h[-1]) + out_b[:]              # [D, Bt]
+    acc0 = jnp.zeros((1, Bt), f32)
+
+    def out_step(t, h2, acc):
+        """Output head + residual + MSE accumulate for decoder step t."""
+        y_t = mm(out_w[:], h2) + out_b[:]                     # [D, Bt]
         r_t = (x_ref[t].astype(f32) - y_t) ** 2
         if resid_ref is not None:
             resid_ref[t] = r_t.astype(resid_ref.dtype)
-        acc = acc + jnp.sum(r_t, axis=0, keepdims=True)       # [1, Bt]
-        return tuple(new_h), tuple(new_c), acc
+        return acc + jnp.sum(r_t, axis=0, keepdims=True)      # [1, Bt]
 
-    acc0 = jnp.zeros((1, Bt), f32)
-    *_, acc = jax.lax.fori_loop(
-        0, T, dec_body, ((zeros,) * num_layers, (zeros,) * num_layers, acc0))
+    if skew:
+        # ----- 3-stage skewed decoder: iteration t runs out-head(t-2),
+        # L2(t-1), L1(t) — three mutually independent groups. -----
+        d1_wih, d1_whh, d1_b = dec[1]
+
+        # peel t=0: L1 step 0 (recurrent term exactly zero)
+        h1, c1 = _lstm_step(zeros, zeros, xp_const, H)
+        # peel t=1: L2 step 0 + L1 step 1
+        g2 = mm(d1_wih[:], h1) + d1_b[:]
+        g1 = xp_const + mm(d0_whh[:], h1)
+        h2, c2 = _lstm_step(zeros, zeros, g2, H)
+        h1, c1 = _lstm_step(h1, c1, g1, H)
+
+        def dec_body_skew(t, carry):
+            h1, c1, h2, c2, acc = carry          # h1(t-1), h2(t-2)
+            acc = out_step(t - 2, h2, acc)                        # out(t-2)
+            g2 = mm(d1_wih[:], h1) + mm(d1_whh[:], h2) + d1_b[:]  # L2(t-1)
+            g1 = xp_const + mm(d0_whh[:], h1)                     # L1(t)
+            h2n, c2n = _lstm_step(h2, c2, g2, H)
+            h1n, c1n = _lstm_step(h1, c1, g1, H)
+            return h1n, c1n, h2n, c2n, acc
+
+        h1, c1, h2, c2, acc = jax.lax.fori_loop(
+            2, T, dec_body_skew, (h1, c1, h2, c2, acc0))
+        # flush: out(T-2), L2(T-1), out(T-1)
+        acc = out_step(T - 2, h2, acc)
+        g2 = mm(d1_wih[:], h1) + mm(d1_whh[:], h2) + d1_b[:]
+        h2, c2 = _lstm_step(h2, c2, g2, H)
+        acc = out_step(T - 1, h2, acc)
+    else:
+        def dec_body(t, carry):
+            hs, cs, acc = carry
+            new_h, new_c = [], []
+            g = xp_const + mm(d0_whh[:], hs[0])
+            h, c = _lstm_step(hs[0], cs[0], g, H)
+            new_h.append(h)
+            new_c.append(c)
+            for l in range(1, num_layers):
+                wih, whh, b = dec[l]
+                g = mm(wih[:], new_h[-1]) + mm(whh[:], hs[l]) + b[:]
+                h, c = _lstm_step(hs[l], cs[l], g, H)
+                new_h.append(h)
+                new_c.append(c)
+            acc = out_step(t, new_h[-1], acc)
+            return tuple(new_h), tuple(new_c), acc
+
+        *_, acc = jax.lax.fori_loop(
+            0, T, dec_body, ((zeros,) * num_layers, (zeros,) * num_layers, acc0))
     D = x_ref.shape[1]
     mse_ref[:] = acc / (T * D)
 
@@ -179,7 +241,8 @@ def _kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("num_layers", "use_layernorm", "batch_tile", "dtype",
-                     "io_dtype", "with_residual", "interpret", "emulate"),
+                     "io_dtype", "with_residual", "interpret", "emulate",
+                     "skew"),
 )
 def fused_vae_gate(
     params: Dict,
@@ -193,6 +256,7 @@ def fused_vae_gate(
     with_residual: bool = True,
     interpret: bool = False,
     emulate: bool = False,
+    skew: bool = True,
 ) -> Tuple[jax.Array, jax.Array | None]:
     """Fused deterministic VAE pass: returns (mse [N], residual [N, T, D] | None).
 
@@ -203,6 +267,11 @@ def fused_vae_gate(
       output (bf16 halves HBM traffic; MSE still accumulates in f32).
     - ``with_residual=False``: gate-only scoring — skips the residual store
       entirely (the threshold-calibration path needs only the MSE).
+    - ``skew`` (2-layer only): layer-skewed execution — L2 lags L1 by one
+      step and the output head by one more, so each loop iteration issues
+      independent matmul groups the MXU/VPU can overlap instead of the
+      stacked form's serial mm->act->mm->act chain. Pure reordering of the
+      identical math (pinned bit-exact vs skew=False in tests/test_ops.py).
     """
     if num_layers not in (1, 2):
         raise NotImplementedError("fused kernel supports 1- or 2-layer presets")
@@ -233,7 +302,7 @@ def fused_vae_gate(
     weights = [jnp.asarray(x, jnp.float32) for x in weights]
     w_specs = [full(x.shape) for x in weights]
 
-    kernel = functools.partial(_kernel, emulate=emulate,
+    kernel = functools.partial(_kernel, emulate=emulate, skew=skew,
                                T=T, H=H, num_layers=num_layers,
                                use_layernorm=use_layernorm, dtype=dtype)
     mse_spec = pl.BlockSpec((1, batch_tile), lambda i: (0, i),

@@ -58,6 +58,18 @@ def test_fused_vae_openlab_preset_one_layer():
     np.testing.assert_allclose(np.asarray(mse), mse_ref, atol=2e-6)
 
 
+def test_fused_vae_skew_equivalence(setup):
+    """Layer-skewed execution is a pure reordering — identical outputs to the
+    stacked loop (same values, same f32 accumulation order)."""
+    model, params, Z = setup
+    mse_a, resid_a = fused_vae_gate(params, Z[:64], dtype=jnp.float32,
+                                    interpret=True, batch_tile=32, skew=False)
+    mse_b, resid_b = fused_vae_gate(params, Z[:64], dtype=jnp.float32,
+                                    interpret=True, batch_tile=32, skew=True)
+    np.testing.assert_array_equal(np.asarray(mse_a), np.asarray(mse_b))
+    np.testing.assert_array_equal(np.asarray(resid_a), np.asarray(resid_b))
+
+
 def test_fused_vae_no_layernorm():
     cfg = VAEConfig(4, 3, 16, 2, 0.0, use_layernorm=False)
     model = vae_from_config(cfg)
