@@ -90,7 +90,7 @@ def _kernel(
     *refs,                     # L encoder triples, [ln pair,] mu/z2h pairs,
                                # L decoder triples, out pair, then out refs
     T: int, H: int, num_layers: int, use_layernorm: bool, dtype,
-    emulate: bool = False, skew: bool = False,
+    d_real: int, emulate: bool = False, skew: bool = False,
 ):
     it = iter(refs)
     enc = [(next(it), next(it), next(it)) for _ in range(num_layers)]
@@ -234,8 +234,9 @@ def _kernel(
 
         *_, acc = jax.lax.fori_loop(
             0, T, dec_body, ((zeros,) * num_layers, (zeros,) * num_layers, acc0))
-    D = x_ref.shape[1]
-    mse_ref[:] = acc / (T * D)
+    # padded feature rows contribute exactly 0 to acc (x and out head are
+    # zero there), so the mean divides by the REAL feature count
+    mse_ref[:] = acc / (T * d_real)
 
 
 @functools.partial(
@@ -280,12 +281,23 @@ def fused_vae_gate(
     H = w["enc0_whh"].shape[1]
     io_dtype = io_dtype or Z.dtype
 
+    # pad the feature dim (sublanes) to the 16-row tile: D=12 would make every
+    # per-step [D, Bt] window read and residual store straddle a sublane tile
+    # (read-modify-write on bf16 stores). Zero pad rows are exact no-ops: the
+    # padded enc0 weight columns and out-head rows are zero, so gates, MSE sum
+    # and residual rows beyond D are identically 0.
+    Dp = _round_up(D, 16)
+    if Dp != D:
+        w["enc0_wih"] = jnp.pad(w["enc0_wih"], ((0, 0), (0, Dp - D)))
+        w["out_w"] = jnp.pad(w["out_w"], ((0, Dp - D), (0, 0)))
+        w["out_b"] = jnp.pad(w["out_b"], ((0, Dp - D), (0, 0)))
+
     Np = _round_up(max(N, 1), batch_tile)
-    Zp = jnp.pad(Z, ((0, Np - N), (0, 0), (0, 0)))
-    Zt = jnp.transpose(Zp, (1, 2, 0)).astype(io_dtype)   # [T, D, Np] batch-in-lanes
+    Zp = jnp.pad(Z, ((0, Np - N), (0, 0), (0, Dp - D)))
+    Zt = jnp.transpose(Zp, (1, 2, 0)).astype(io_dtype)   # [T, Dp, Np] batch-in-lanes
 
     grid = (Np // batch_tile,)
-    tile_in = pl.BlockSpec((T, D, batch_tile), lambda i: (0, 0, i),
+    tile_in = pl.BlockSpec((T, Dp, batch_tile), lambda i: (0, 0, i),
                            memory_space=pltpu.VMEM)
     full = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
                                       memory_space=pltpu.VMEM)
@@ -303,18 +315,18 @@ def fused_vae_gate(
     w_specs = [full(x.shape) for x in weights]
 
     kernel = functools.partial(_kernel, emulate=emulate, skew=skew,
-                               T=T, H=H, num_layers=num_layers,
+                               T=T, H=H, num_layers=num_layers, d_real=D,
                                use_layernorm=use_layernorm, dtype=dtype)
     mse_spec = pl.BlockSpec((1, batch_tile), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
     mse_shape = jax.ShapeDtypeStruct((1, Np), jnp.float32)
     if with_residual:
         out_specs = (
-            pl.BlockSpec((T, D, batch_tile), lambda i: (0, 0, i),
+            pl.BlockSpec((T, Dp, batch_tile), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
             mse_spec,
         )
-        out_shape = (jax.ShapeDtypeStruct((T, D, Np), io_dtype), mse_shape)
+        out_shape = (jax.ShapeDtypeStruct((T, Dp, Np), io_dtype), mse_shape)
     else:
         out_specs = (mse_spec,)
         out_shape = (mse_shape,)
@@ -330,7 +342,7 @@ def fused_vae_gate(
 
     if with_residual:
         resid_t, mse = outs
-        resid = jnp.transpose(resid_t, (2, 0, 1))[:N]
+        resid = jnp.transpose(resid_t[:, :D], (2, 0, 1))[:N]
     else:
         (mse,) = outs
         resid = None
