@@ -192,7 +192,13 @@ def cmd_train_vae(paths: Paths, cfg: OpenLabConfig, epochs: Optional[int] = None
     # parity preserved by saving last_params. The monitored slice is the first
     # 10% of the TRAINING set itself (curves only, NOT held out), so its
     # history keys are renamed train_subset_* to prevent best-val misreading.
-    res = train_vae(model, Z, Z[: max(len(Z) // 10, 1)], tcfg, log_every=10)
+    # fused_epochs=False: for THIS workload (T=200, 1-layer H=64) the fused
+    # whole-run program costs ~460s of remote compile (measured, E=1 probe)
+    # vs ~72s for the whole 100-epoch loop run — same trajectory either way
+    # (bit-identity pinned in tests/test_fused_epochs.py). Mirrors the
+    # openLAB CNN's fused_epoch pin below.
+    res = train_vae(model, Z, Z[: max(len(Z) // 10, 1)], tcfg, log_every=10,
+                    fused_epochs=False)
     for k in ("total", "recon", "kl"):
         res.history[f"train_subset_{k}"] = res.history.pop(f"val_{k}")
     save_params({"params": res.last_params}, art / "vae_exceedance_clean.msgpack")
