@@ -358,13 +358,14 @@ def cmd_train_cnn(paths: Paths, cfg: OpenLabConfig, epochs: Optional[int] = None
         res = max(results, key=lambda r: r.best_metric)
         res.seconds = sum(r.seconds for r in results)
     else:
-        # fused_epoch=False: this model's (7,3)/(5,3) convs inside a scan
-        # take ~300s to compile remotely, dwarfing the whole loop-path run
-        # (106s); measured round 2 — see BENCHMARKS.md.
+        # fused_epoch default (on for TPU): with the im2col convs the fused
+        # per-epoch program compiles in seconds — lax.conv lowering used to
+        # cost ~300s of remote compile inside a scan, which forced a
+        # fused_epoch=False pin here (round-2 history in BENCHMARKS.md).
         res = train_cnn(model, Xtr_s, ytr, Xva_s, yva, tcfg, loss="focal",
                         focal_gamma=cfg.focal_gamma, class_alpha=alpha,
                         sample_weights=weights, val_metric_fn=st_f2_metric,
-                        log_every=1, fused_epoch=False)
+                        log_every=1)
 
     save_params(res.variables, art / "cnn_model_openlab.msgpack")
     probs = predict_probs(model, res.variables, Xva_s)

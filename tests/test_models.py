@@ -159,3 +159,46 @@ def test_cnnopenlab_shapes():
     logits = model.apply(vs, x, train=False)
     assert logits.shape == (3, 2)
     assert "batch_stats" not in vs  # GroupNorm only
+
+
+def test_cnn4dof_im2col_matches_lax_conv():
+    a = CNN4DOF(conv_impl="im2col")
+    b = CNN4DOF(conv_impl="lax")
+    x = jax.random.normal(jax.random.PRNGKey(2), (4, 100, 12, 2))
+    vs = a.init({"params": jax.random.PRNGKey(0)}, x)
+    vs_b = b.init({"params": jax.random.PRNGKey(0)}, x)
+    assert (jax.tree_util.tree_structure(vs)
+            == jax.tree_util.tree_structure(vs_b))
+    la = a.apply(vs, x, train=False)
+    lb = b.apply(vs, x, train=False)
+    np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_cnnopenlab_im2col_matches_lax_conv():
+    """The im2col conv (the shipping default — compiles ~30x faster remotely)
+    is functionally identical to nn.Conv: same param tree, same outputs, same
+    gradients. Checkpoints are interchangeable."""
+    a = CNNOpenLab(conv_impl="im2col")
+    b = CNNOpenLab(conv_impl="lax")
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 200, 4, 1))
+    vs = a.init({"params": jax.random.PRNGKey(0)}, x)
+    vs_b = b.init({"params": jax.random.PRNGKey(0)}, x)
+    assert (jax.tree_util.tree_structure(vs)
+            == jax.tree_util.tree_structure(vs_b))
+    assert ([l.shape for l in jax.tree.leaves(vs)]
+            == [l.shape for l in jax.tree.leaves(vs_b)])
+
+    la = a.apply(vs, x, train=False)
+    lb = b.apply(vs, x, train=False)
+    np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                               atol=1e-5, rtol=1e-5)
+
+    def loss(m, v):
+        return (m.apply(v, x, train=False) ** 2).sum()
+
+    ga = jax.grad(lambda v: loss(a, v))(vs)
+    gb = jax.grad(lambda v: loss(b, v))(vs)
+    for pa, pb in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                                   atol=2e-4, rtol=1e-4)
