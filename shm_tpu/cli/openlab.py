@@ -193,10 +193,13 @@ def cmd_train_vae(paths: Paths, cfg: OpenLabConfig, epochs: Optional[int] = None
     # 10% of the TRAINING set itself (curves only, NOT held out), so its
     # history keys are renamed train_subset_* to prevent best-val misreading.
     # fused_epochs=False: for THIS workload (T=200, 1-layer H=64) the fused
-    # whole-run program costs ~460s of remote compile (measured, E=1 probe)
-    # vs ~72s for the whole 100-epoch loop run — same trajectory either way
-    # (bit-identity pinned in tests/test_fused_epochs.py). Mirrors the
-    # openLAB CNN's fused_epoch pin below.
+    # whole-run program costs ~155-200s of remote compile (re-measured round
+    # 2, tools/probe_openlab_fused.py; executes 100 epochs in 8.9s vs 33.6s
+    # once compiled) vs ~72s for the whole one-shot 100-epoch loop run —
+    # same trajectory either way (bit-identity pinned in
+    # tests/test_fused_epochs.py). A persistent compile cache would flip
+    # this, but cached executables do not load on the remote platform
+    # (measured — see BENCHMARKS.md).
     res = train_vae(model, Z, Z[: max(len(Z) // 10, 1)], tcfg, log_every=10,
                     fused_epochs=False)
     for k in ("total", "recon", "kl"):

@@ -136,7 +136,9 @@ def cmd_train_vae(paths: Paths, cfg: Stage1DofConfig, epochs: int | None = None,
     model = vae_from_config(cfg.vae)
     # the reference trains without a val split and keeps the FINAL model
     # (1_DOF/03_train_vae.py:330-333) — use a small val slice for the history
-    # but save last_params for parity.
+    # but save last_params for parity. The fused-epochs TPU default is
+    # measured for THIS shape too (tools/probe_1dof_fused.py): 28s compile
+    # + 14.5s/100 epochs vs 44.7s loop — fused wins even one-shot.
     res = train_vae(model, W, W[: max(len(W) // 10, 1)], tcfg, log_every=10)
     save_params({"params": res.last_params}, paths.models / "temporal_vae.msgpack")
 

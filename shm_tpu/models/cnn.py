@@ -91,10 +91,13 @@ class CNN4DOF(nn.Module):
             conv = lambda f, name: Im2ColConv(
                 f, (3, 3), kernel_init=xavier_uniform, dtype=self.dtype,
                 name=name)
-        else:
+        elif self.conv_impl == "lax":
             conv = lambda f, name: nn.Conv(
                 f, (3, 3), padding="SAME", kernel_init=xavier_uniform,
                 bias_init=nn.initializers.zeros, dtype=self.dtype, name=name)
+        else:
+            raise ValueError(f"unknown conv_impl {self.conv_impl!r} "
+                             "(expected 'im2col' or 'lax')")
         bn = lambda name: nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=self.dtype, name=name)
@@ -134,11 +137,14 @@ class CNNOpenLab(nn.Module):
             if self.conv_impl == "im2col":
                 x = Im2ColConv(cout, (kt, 3), kernel_init=kaiming_normal,
                                dtype=self.dtype, name=f"{name}_conv")(x)
-            else:
+            elif self.conv_impl == "lax":
                 x = nn.Conv(cout, (kt, 3), padding="SAME",
                             kernel_init=kaiming_normal,
                             bias_init=nn.initializers.zeros, dtype=self.dtype,
                             name=f"{name}_conv")(x)
+            else:
+                raise ValueError(f"unknown conv_impl {self.conv_impl!r} "
+                                 "(expected 'im2col' or 'lax')")
             x = nn.GroupNorm(num_groups=8, dtype=self.dtype, name=f"{name}_gn")(x)
             return nn.silu(x)
 

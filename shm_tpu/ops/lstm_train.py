@@ -413,7 +413,7 @@ def _dec_bwd_kernel(dm_ref, din_ref, w0i, w0h, b0, w1i, w1h, b1, ow, ob,
 
     def step(k, acc):
         (h0a, c0a, h1a, c1a, dh0, dc0, dh1, dc1,
-         a0h, a0b, a1i, a1h, a1b, aow, aob, adg0) = acc
+         a0h, a1i, a1h, a1b, aow, aob, adg0) = acc
         tau = Tc - 1 - k
         h0p = stash_ref[tau, 0 * H:1 * H]
         c0p = stash_ref[tau, 1 * H:2 * H]
@@ -444,22 +444,22 @@ def _dec_bwd_kernel(dm_ref, din_ref, w0i, w0h, b0, w1i, w1h, b1, ow, ob,
         dh0 = mm(jnp.swapaxes(w0h[:], 0, 1), dg0)
 
         return (h0p, c0p, h1p, c1p, dh0, dc0p, dh1, dc1p,
-                a0h, a0b, a1i, a1h, a1b, aow, aob, adg0)
+                a0h, a1i, a1h, a1b, aow, aob, adg0)
 
     Bt = din_ref.shape[1]
     acc0 = tuple(jnp.zeros(r.shape, F32)
-                 for r in (gw0h, gb0, gw1i, gw1h, gb1, gow, gob))
+                 for r in (gw0h, gw1i, gw1h, gb1, gow, gob))
     init = (ah0[:], ac0[:], ah1[:], ac1[:],
             dh0s[:], dc0s[:], dh1s[:], dc1s[:]) + acc0 \
         + (jnp.zeros((4 * H, Bt), F32),)
     out = jax.lax.fori_loop(0, Tc, step, init)
     (h0a, c0a, h1a, c1a, dh0, dc0, dh1, dc1,
-     a0h, a0b, a1i, a1h, a1b, aow, aob, adg0) = out
+     a0h, a1i, a1h, a1b, aow, aob, adg0) = out
     ah0[:], ac0[:], ah1[:], ac1[:] = h0a, c0a, h1a, c1a
     dh0s[:], dc0s[:], dh1s[:], dc1s[:] = dh0, dc0, dh1, dc1
     # dg0 folds into: d w0i += dg0 @ din^T, d b0 += sum dg0, d din += w0i^T dg0
     gw0i[:] += mmT(adg0, din_ref[:])
-    gb0[:] += a0b + jnp.sum(adg0, axis=1, keepdims=True)
+    gb0[:] += jnp.sum(adg0, axis=1, keepdims=True)
     ddin_ref[:] += mm(jnp.swapaxes(w0i[:], 0, 1), adg0)
     gw0h[:] += a0h
     gw1i[:] += a1i

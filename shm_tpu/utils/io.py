@@ -83,6 +83,11 @@ def load_csv_numeric(path: str | Path, num_features: int | None = None) -> np.nd
         X = np.loadtxt(str(p), delimiter=",", skiprows=1).astype(np.float32)
     if X.ndim != 2 or (num_features is not None and X.shape[1] != num_features):
         raise ValueError(f"Bad CSV shape in {p}: {X.shape}")
+    if not np.isfinite(X).all():
+        # pandas silently parses 'NA'/'NaN'/empty cells as NaN where
+        # np.loadtxt (the reference's parser) raised; run CSVs are simulator
+        # output and must be all-finite, so keep the loud failure.
+        raise ValueError(f"Non-finite values in {p}")
     return X
 
 

@@ -161,6 +161,19 @@ def test_cnnopenlab_shapes():
     assert "batch_stats" not in vs  # GroupNorm only
 
 
+def test_cnn_unknown_conv_impl_raises():
+    """A typo'd conv_impl must not silently fall back to the slow-compiling
+    nn.Conv path."""
+    import pytest
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 100, 12, 2))
+    with pytest.raises(ValueError, match="conv_impl"):
+        CNN4DOF(conv_impl="im2col ").init({"params": jax.random.PRNGKey(0)}, x)
+    xo = jax.random.normal(jax.random.PRNGKey(0), (2, 200, 4, 1))
+    with pytest.raises(ValueError, match="conv_impl"):
+        CNNOpenLab(conv_impl="lax2").init({"params": jax.random.PRNGKey(0)}, xo)
+
+
 def test_cnn4dof_im2col_matches_lax_conv():
     a = CNN4DOF(conv_impl="im2col")
     b = CNN4DOF(conv_impl="lax")

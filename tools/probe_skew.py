@@ -29,7 +29,8 @@ def _rate(fn, Z, n) -> float:
 
 
 def main() -> None:
-    from bench import load_trained_workload, hybrid_flops_per_window
+    from bench import (load_trained_workload, hybrid_flops_per_window,
+                       cnn_flops_per_window)
 
     vae, cnn, vae_params, cnn_vars, W, mean, std, thr = load_trained_workload()
     W4 = np.concatenate([W] * (-(-21760 // W.shape[0])))[:21760].astype(np.float32)
@@ -44,9 +45,7 @@ def main() -> None:
     float(np.asarray(Zd).sum())
 
     fpw = hybrid_flops_per_window()
-    cnn_fpw = (2 * 100 * 12 * 16 * 9 * 2 + 2 * 50 * 6 * 32 * 9 * 16
-               + 2 * (32 * 25 * 3) * 128 + 2 * 128 * 2)
-    vae_fpw = fpw - cnn_fpw
+    vae_fpw = fpw - cnn_flops_per_window()
 
     for with_residual in (True, False):
         for skew in (False, True):

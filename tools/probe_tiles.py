@@ -38,7 +38,8 @@ def _rate(fn, W, n) -> float:
 
 
 def main() -> None:
-    from bench import load_trained_workload, hybrid_flops_per_window
+    from bench import (load_trained_workload, hybrid_flops_per_window,
+                       cnn_flops_per_window)
 
     vae, cnn, vae_params, cnn_vars, W, mean, std, thr = load_trained_workload()
     reps4 = -(-21760 // W.shape[0])
@@ -56,8 +57,7 @@ def main() -> None:
     float(np.asarray(Zd).sum())
 
     fpw = hybrid_flops_per_window()
-    vae_fpw = fpw - (2 * 100 * 12 * 16 * 9 * 2 + 2 * 50 * 6 * 32 * 9 * 16
-                     + 2 * (32 * 25 * 3) * 128 + 2 * 128 * 2)
+    vae_fpw = fpw - cnn_flops_per_window()
 
     for with_residual in (True, False):
         for bt in (256, 512, 1024):
