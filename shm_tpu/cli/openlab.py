@@ -470,7 +470,8 @@ def _ml_data(paths: Paths):
     return X, y, masks
 
 
-def cmd_train_ml(paths: Paths, cfg: OpenLabConfig) -> None:
+def cmd_train_ml(paths: Paths, cfg: OpenLabConfig,
+                 svm_probability: str = "svc") -> None:
     import joblib
 
     X, y, masks = _ml_data(paths)
@@ -481,7 +482,7 @@ def cmd_train_ml(paths: Paths, cfg: OpenLabConfig) -> None:
         raise RuntimeError("Training set too small or missing a class.")
 
     art = ensure_dir(paths.ml_dir / "artifacts")
-    models = build_ml_models(cfg.seed)
+    models = build_ml_models(cfg.seed, svm_probability=svm_probability)
     summary: List[Dict] = []
     for name, model in models.items():
         t0 = time.perf_counter()
@@ -617,12 +618,24 @@ def cmd_test_hybrid(paths: Paths, cfg: OpenLabConfig, split_name: str = "test",
 
                     Xd = transform_features(mdl, Xa)
                     if ml_name == "svm_rbf":
+                        from sklearn.calibration import CalibratedClassifierCV
+                        from sklearn.pipeline import Pipeline
+
                         from shm_tpu.models.svm_jax import (
+                            calibrated_svm_predict_proba, export_calibrated_svm,
                             export_svm, svm_predict_proba,
                         )
 
-                        prob_st = np.asarray(
-                            svm_predict_proba(export_svm(mdl), Xd), np.float64)
+                        clf = (mdl.steps[-1][1]
+                               if isinstance(mdl, Pipeline) else mdl)
+                        if isinstance(clf, CalibratedClassifierCV):
+                            # sklearn>=1.11 training path
+                            # (build_ml_models(svm_probability="calibrated"))
+                            prob_st = np.asarray(calibrated_svm_predict_proba(
+                                export_calibrated_svm(mdl), Xd), np.float64)
+                        else:
+                            prob_st = np.asarray(svm_predict_proba(
+                                export_svm(mdl), Xd), np.float64)
                     else:
                         from shm_tpu.models.forest_jax import (
                             ensemble_predict_proba, export_ensemble,
@@ -722,6 +735,13 @@ def main(argv=None) -> None:
                          " + longer patience, best VAL ST-F2 model kept)")
     ap.add_argument("--seeds", type=int, default=3,
                     help="number of seeds for --quality (default 3)")
+    ap.add_argument("--svm-probability", default="svc",
+                    choices=["svc", "calibrated"],
+                    help="train-ml SVM probability path: 'svc' = reference "
+                         "parity (SVC(probability=True)); 'calibrated' = the "
+                         "sklearn-1.11 replacement "
+                         "(CalibratedClassifierCV(SVC(), ensemble=False)); "
+                         "both serve on-device in test-hybrid")
     args = ap.parse_args(argv)
 
     raw_dir = args.raw_dir or default_openlab_raw_dir()
@@ -738,7 +758,8 @@ def main(argv=None) -> None:
                                            quality=args.quality,
                                            n_seeds=args.seeds),
         "validate-cnn": lambda: cmd_validate_cnn(paths, cfg, args.split or "val"),
-        "train-ml": lambda: cmd_train_ml(paths, cfg),
+        "train-ml": lambda: cmd_train_ml(paths, cfg,
+                                         args.svm_probability),
         "validate-ml": lambda: cmd_validate_ml(paths, cfg, args.split or "val"),
         "test-hybrid": lambda: cmd_test_hybrid(paths, cfg, args.split or "test",
                                                host_ml=args.host_ml),

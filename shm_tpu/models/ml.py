@@ -16,17 +16,34 @@ from typing import Dict
 import numpy as np
 
 
-def build_ml_models(seed: int = 42) -> Dict[str, object]:
+def build_ml_models(seed: int = 42, svm_probability: str = "svc") -> Dict[str, object]:
+    """``svm_probability``: "svc" (reference parity — ``SVC(probability=True)``,
+    08:323-327) or "calibrated" (``CalibratedClassifierCV(SVC(), ensemble=False,
+    method="sigmoid")`` — the sklearn-1.11 replacement for the deprecated
+    probability parameter; served on-device by
+    :func:`shm_tpu.models.svm_jax.calibrated_svm_predict_proba`)."""
     from sklearn.ensemble import (
         GradientBoostingClassifier,
         HistGradientBoostingClassifier,
         RandomForestClassifier,
     )
+    from sklearn.calibration import CalibratedClassifierCV
     from sklearn.impute import SimpleImputer
     from sklearn.pipeline import Pipeline
     from sklearn.preprocessing import StandardScaler
     from sklearn.svm import SVC
     from sklearn.tree import DecisionTreeClassifier
+
+    if svm_probability == "svc":
+        svm_clf = SVC(kernel="rbf", probability=True, class_weight="balanced",
+                      random_state=seed)
+    elif svm_probability == "calibrated":
+        svm_clf = CalibratedClassifierCV(
+            SVC(kernel="rbf", class_weight="balanced", random_state=seed),
+            ensemble=False, method="sigmoid", cv=5)
+    else:
+        raise ValueError(f"unknown svm_probability {svm_probability!r} "
+                         "(expected 'svc' or 'calibrated')")
 
     imputer = lambda: SimpleImputer(strategy="median")
     return {
@@ -43,8 +60,7 @@ def build_ml_models(seed: int = 42) -> Dict[str, object]:
         "svm_rbf": Pipeline([
             ("imputer", imputer()),
             ("scaler", StandardScaler(with_mean=True, with_std=True)),
-            ("clf", SVC(kernel="rbf", probability=True, class_weight="balanced",
-                        random_state=seed)),
+            ("clf", svm_clf),
         ]),
         "gb": Pipeline([
             ("imputer", imputer()),

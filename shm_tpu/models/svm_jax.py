@@ -155,14 +155,18 @@ def export_svm(model) -> RBFSVM:
     )
 
 
-def svm_decision_function(svm: RBFSVM, X: jax.Array) -> jax.Array:
-    """sklearn-equivalent ``decision_function`` for each row of X (N, F)."""
+def _rbf_decision(sv, dual_coef, intercept, gamma, X):
     X = jnp.asarray(X, jnp.float32)
     x2 = (X ** 2).sum(axis=1, keepdims=True)          # (N, 1)
-    s2 = (svm.sv ** 2).sum(axis=1)[None, :]           # (1, S)
-    d2 = jnp.maximum(x2 + s2 - 2.0 * X @ svm.sv.T, 0.0)
-    K = jnp.exp(-svm.gamma * d2)                       # (N, S)
-    return K @ svm.dual_coef + svm.intercept
+    s2 = (sv ** 2).sum(axis=1)[None, :]               # (1, S)
+    d2 = jnp.maximum(x2 + s2 - 2.0 * X @ sv.T, 0.0)
+    K = jnp.exp(-gamma * d2)                           # (N, S)
+    return K @ dual_coef + intercept
+
+
+def svm_decision_function(svm: RBFSVM, X: jax.Array) -> jax.Array:
+    """sklearn-equivalent ``decision_function`` for each row of X (N, F)."""
+    return _rbf_decision(svm.sv, svm.dual_coef, svm.intercept, svm.gamma, X)
 
 
 def svm_predict_proba(svm: RBFSVM, X: jax.Array) -> jax.Array:
@@ -172,4 +176,86 @@ def svm_predict_proba(svm: RBFSVM, X: jax.Array) -> jax.Array:
     return _proba_from_decision(f, svm.prob_a, svm.prob_b, svm.first_is_cls1)
 
 
-__all__ = ["RBFSVM", "export_svm", "svm_decision_function", "svm_predict_proba"]
+class CalibratedRBFSVM(NamedTuple):
+    """The post-``SVC(probability=True)`` serving path (sklearn deprecates it
+    for removal in 1.11; the replacement is
+    ``CalibratedClassifierCV(SVC(), ensemble=False)`` — ROADMAP item 2).
+
+    With ``ensemble=False`` the fitted object is one base SVC (refit on the
+    full train set) plus ONE calibrator mapping its public decision_function
+    to p(classes_[1]): sigmoid ``expit(-(a f + b))`` or isotonic
+    (piecewise-linear interp over the fitted thresholds, clipped at the
+    ends — exactly ``jnp.interp``). No libsvm coupling involved.
+    ``method`` is a static Python str: branch at trace time, closure-capture
+    under jit (same usage pattern as :class:`RBFSVM`).
+    """
+
+    sv: jax.Array          # (S, F) support vectors of the base SVC
+    dual_coef: jax.Array   # (S,)
+    intercept: float
+    gamma: float
+    method: str            # "sigmoid" | "isotonic"
+    a: float               # sigmoid slope (0.0 for isotonic)
+    b: float               # sigmoid offset (0.0 for isotonic)
+    iso_x: jax.Array       # isotonic X_thresholds_ (size 0 for sigmoid)
+    iso_y: jax.Array       # isotonic y_thresholds_ (size 0 for sigmoid)
+
+
+def export_calibrated_svm(model) -> CalibratedRBFSVM:
+    """Convert a fitted binary ``CalibratedClassifierCV(SVC(kernel="rbf"),
+    ensemble=False)`` (or a Pipeline ending in one) into device arrays.
+
+    As with :func:`export_svm`, pipeline preprocessing must be applied to
+    inputs beforehand (``transform_features``) — support vectors are stored
+    post-pipeline.
+    """
+    from sklearn.calibration import CalibratedClassifierCV
+    from sklearn.pipeline import Pipeline
+    from sklearn.svm import SVC
+
+    cc = model.steps[-1][1] if isinstance(model, Pipeline) else model
+    if not isinstance(cc, CalibratedClassifierCV):
+        raise TypeError(f"expected a fitted CalibratedClassifierCV, got {type(cc)}")
+    inner = cc.calibrated_classifiers_
+    if len(inner) != 1:
+        raise NotImplementedError(
+            f"ensemble=False expected (one calibrated classifier, got {len(inner)})")
+    c0 = inner[0]
+    svc = c0.estimator
+    if not isinstance(svc, SVC) or svc.kernel != "rbf":
+        raise TypeError(f"expected an rbf SVC base estimator, got {type(svc)}")
+    if len(cc.classes_) != 2:
+        raise NotImplementedError("binary only")
+
+    cal = c0.calibrators[0]
+    if hasattr(cal, "a_"):                       # _SigmoidCalibration
+        method, a, b = "sigmoid", float(cal.a_), float(cal.b_)
+        iso_x = jnp.zeros((0,), jnp.float32)
+        iso_y = jnp.zeros((0,), jnp.float32)
+    elif hasattr(cal, "X_thresholds_"):          # IsotonicRegression
+        method, a, b = "isotonic", 0.0, 0.0
+        iso_x = jnp.asarray(np.asarray(cal.X_thresholds_, np.float32))
+        iso_y = jnp.asarray(np.asarray(cal.y_thresholds_, np.float32))
+    else:
+        raise TypeError(f"unrecognized calibrator {type(cal)}")
+
+    return CalibratedRBFSVM(
+        sv=jnp.asarray(np.asarray(svc.support_vectors_, np.float32)),
+        dual_coef=jnp.asarray(np.asarray(svc.dual_coef_, np.float32).ravel()),
+        intercept=float(svc.intercept_[0]), gamma=float(svc._gamma),
+        method=method, a=a, b=b, iso_x=iso_x, iso_y=iso_y,
+    )
+
+
+def calibrated_svm_predict_proba(svm: CalibratedRBFSVM, X: jax.Array) -> jax.Array:
+    """p(classes_[1]) per row, matching the CalibratedClassifierCV pipeline."""
+    f = _rbf_decision(svm.sv, svm.dual_coef, svm.intercept, svm.gamma, X)
+    if svm.method == "sigmoid":
+        return jax.nn.sigmoid(-(svm.a * f + svm.b))
+    return jnp.interp(f, svm.iso_x, svm.iso_y)
+
+
+__all__ = [
+    "RBFSVM", "export_svm", "svm_decision_function", "svm_predict_proba",
+    "CalibratedRBFSVM", "export_calibrated_svm", "calibrated_svm_predict_proba",
+]

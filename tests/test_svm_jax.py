@@ -84,3 +84,54 @@ def test_export_rejects_non_probability_svc(data):
     svc = SVC(kernel="rbf", probability=False).fit(X, y)
     with pytest.raises(ValueError):
         export_svm(svc)
+
+
+# --- CalibratedClassifierCV(SVC(), ensemble=False): the sklearn-1.11
+# replacement for SVC(probability=True) (ROADMAP item 2) ---
+
+@pytest.mark.parametrize("method", ["sigmoid", "isotonic"])
+def test_calibrated_svm_matches_sklearn(data, method):
+    from sklearn.calibration import CalibratedClassifierCV
+
+    from shm_tpu.models.svm_jax import (
+        calibrated_svm_predict_proba, export_calibrated_svm,
+    )
+
+    X, y, Xt = data
+    cc = CalibratedClassifierCV(
+        SVC(kernel="rbf", class_weight="balanced", random_state=0),
+        ensemble=False, method=method, cv=5).fit(X, y)
+    ref = cc.predict_proba(Xt)[:, 1]
+    ours = np.asarray(calibrated_svm_predict_proba(export_calibrated_svm(cc), Xt))
+    np.testing.assert_allclose(ours, ref, atol=5e-4)
+    assert np.array_equal(ours >= 0.5, ref >= 0.5)
+
+
+def test_calibrated_zoo_pipeline_end_to_end(data):
+    """build_ml_models(svm_probability='calibrated') end-to-end: NaN-bearing
+    features, host transform + device scoring, vs the sklearn pipeline."""
+    from shm_tpu.models.ml import build_ml_models
+    from shm_tpu.models.svm_jax import (
+        calibrated_svm_predict_proba, export_calibrated_svm,
+    )
+
+    X, y, Xt = data
+    Xn = X.copy()
+    Xn[::7, 2] = np.nan
+    pipe = build_ml_models(seed=42, svm_probability="calibrated")["svm_rbf"]
+    pipe.fit(Xn, y)
+    Xt_n = Xt.copy()
+    Xt_n[::5, 2] = np.nan
+    ref = pipe.predict_proba(Xt_n)[:, 1]
+    svm = export_calibrated_svm(pipe)
+    Xd = transform_features(pipe, Xt_n)
+    ours = np.asarray(calibrated_svm_predict_proba(svm, Xd))
+    np.testing.assert_allclose(ours, ref, atol=5e-4)
+    assert np.array_equal(ours >= 0.5, ref >= 0.5)
+
+
+def test_build_ml_models_rejects_unknown_svm_probability():
+    from shm_tpu.models.ml import build_ml_models
+
+    with pytest.raises(ValueError, match="svm_probability"):
+        build_ml_models(svm_probability="platt")
