@@ -74,14 +74,30 @@ def vae_params_to_kernel_weights(params: Dict, num_layers: int = 2) -> Dict:
     return w
 
 
-def _lstm_step(h, c, gates, H):
+def _sigmoid_tanh(x):
+    """sigmoid as ``0.5 * (tanh(x/2) + 1)`` — ONE VPU transcendental.
+
+    Mosaic lowers ``jax.nn.sigmoid`` (logistic) as exp + divide, which is
+    measurably slower on the VPU; this kernel is transcendental-bound (5
+    sigmoid/tanh evals per cell-step on [H, Bt] blocks), and the tanh form
+    is worth +13% gate throughput (tools/probe_vpu_bound.py, round 2:
+    529k vs 467k win/s device-side). XLA-TPU itself lowers logistic via
+    tanh, so this also matches the XLA scan path's numerics more closely
+    on hardware. vs the exp form: rounding-level differences only
+    (measured 5e-5 rel on the bf16 path, 100% gate agreement on trained
+    artifacts; pinned in tests/test_ops.py).
+    """
+    return 0.5 * (jnp.tanh(0.5 * x) + 1.0)
+
+
+def _lstm_step(h, c, gates, H, sig=_sigmoid_tanh):
     """gates: [4H, Bt] in torch order i|f|g|o along sublanes."""
     i = gates[0 * H:1 * H]
     f = gates[1 * H:2 * H]
     g = gates[2 * H:3 * H]
     o = gates[3 * H:4 * H]
-    c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
-    h = jax.nn.sigmoid(o) * jnp.tanh(c)
+    c = sig(f) * c + sig(i) * jnp.tanh(g)
+    h = sig(o) * jnp.tanh(c)
     return h, c
 
 
@@ -91,6 +107,7 @@ def _kernel(
                                # L decoder triples, out pair, then out refs
     T: int, H: int, num_layers: int, use_layernorm: bool, dtype,
     d_real: int, emulate: bool = False, skew: bool = False,
+    sigmoid_impl: str = "tanh",
 ):
     it = iter(refs)
     enc = [(next(it), next(it), next(it)) for _ in range(num_layers)]
@@ -105,6 +122,8 @@ def _kernel(
 
     Bt = x_ref.shape[2]
     f32 = jnp.float32
+    sig = _sigmoid_tanh if sigmoid_impl == "tanh" else jax.nn.sigmoid
+    step = lambda h, c, g: _lstm_step(h, c, g, H, sig)
 
     def mm(a, b):
         if emulate:
@@ -131,21 +150,21 @@ def _kernel(
 
         # peel: L1 step 0 (recurrent term is exactly zero at t=0)
         g1 = mm(w1ih[:], x_ref[0]) + b1[:]
-        h1, c1 = _lstm_step(zeros, zeros, g1, H)
+        h1, c1 = step(zeros, zeros, g1)
 
         def enc_body_skew(t, carry):
             h1, c1, h2, c2 = carry                 # h1(t-1), h2(t-2)
             g2 = mm(w2ih[:], h1) + mm(w2hh[:], h2) + b2[:]   # L2 step t-1
             g1 = mm(w1ih[:], x_ref[t]) + mm(w1hh[:], h1) + b1[:]  # L1 step t
-            h2n, c2n = _lstm_step(h2, c2, g2, H)
-            h1n, c1n = _lstm_step(h1, c1, g1, H)
+            h2n, c2n = step(h2, c2, g2)
+            h1n, c1n = step(h1, c1, g1)
             return h1n, c1n, h2n, c2n
 
         h1, c1, h2, c2 = jax.lax.fori_loop(
             1, T, enc_body_skew, (h1, c1, zeros, zeros))
         # flush: L2 step T-1
         g2 = mm(w2ih[:], h1) + mm(w2hh[:], h2) + b2[:]
-        h_last, _ = _lstm_step(h2, c2, g2, H)
+        h_last, _ = step(h2, c2, g2)
     else:
         # ----- encoder: all layers advance together inside one time loop -----
         def enc_body(t, carry):
@@ -154,7 +173,7 @@ def _kernel(
             new_h, new_c = [], []
             for l, (wih, whh, b) in enumerate(enc):
                 g = mm(wih[:], inp) + mm(whh[:], hs[l]) + b[:]
-                h, c = _lstm_step(hs[l], cs[l], g, H)
+                h, c = step(hs[l], cs[l], g)
                 new_h.append(h)
                 new_c.append(c)
                 inp = h
@@ -192,20 +211,20 @@ def _kernel(
         d1_wih, d1_whh, d1_b = dec[1]
 
         # peel t=0: L1 step 0 (recurrent term exactly zero)
-        h1, c1 = _lstm_step(zeros, zeros, xp_const, H)
+        h1, c1 = step(zeros, zeros, xp_const)
         # peel t=1: L2 step 0 + L1 step 1
         g2 = mm(d1_wih[:], h1) + d1_b[:]
         g1 = xp_const + mm(d0_whh[:], h1)
-        h2, c2 = _lstm_step(zeros, zeros, g2, H)
-        h1, c1 = _lstm_step(h1, c1, g1, H)
+        h2, c2 = step(zeros, zeros, g2)
+        h1, c1 = step(h1, c1, g1)
 
         def dec_body_skew(t, carry):
             h1, c1, h2, c2, acc = carry          # h1(t-1), h2(t-2)
             acc = out_step(t - 2, h2, acc)                        # out(t-2)
             g2 = mm(d1_wih[:], h1) + mm(d1_whh[:], h2) + d1_b[:]  # L2(t-1)
             g1 = xp_const + mm(d0_whh[:], h1)                     # L1(t)
-            h2n, c2n = _lstm_step(h2, c2, g2, H)
-            h1n, c1n = _lstm_step(h1, c1, g1, H)
+            h2n, c2n = step(h2, c2, g2)
+            h1n, c1n = step(h1, c1, g1)
             return h1n, c1n, h2n, c2n, acc
 
         h1, c1, h2, c2, acc = jax.lax.fori_loop(
@@ -213,20 +232,20 @@ def _kernel(
         # flush: out(T-2), L2(T-1), out(T-1)
         acc = out_step(T - 2, h2, acc)
         g2 = mm(d1_wih[:], h1) + mm(d1_whh[:], h2) + d1_b[:]
-        h2, c2 = _lstm_step(h2, c2, g2, H)
+        h2, c2 = step(h2, c2, g2)
         acc = out_step(T - 1, h2, acc)
     else:
         def dec_body(t, carry):
             hs, cs, acc = carry
             new_h, new_c = [], []
             g = xp_const + mm(d0_whh[:], hs[0])
-            h, c = _lstm_step(hs[0], cs[0], g, H)
+            h, c = step(hs[0], cs[0], g)
             new_h.append(h)
             new_c.append(c)
             for l in range(1, num_layers):
                 wih, whh, b = dec[l]
                 g = mm(wih[:], new_h[-1]) + mm(whh[:], hs[l]) + b[:]
-                h, c = _lstm_step(hs[l], cs[l], g, H)
+                h, c = step(hs[l], cs[l], g)
                 new_h.append(h)
                 new_c.append(c)
             acc = out_step(t, new_h[-1], acc)
@@ -243,7 +262,7 @@ def _kernel(
     jax.jit,
     static_argnames=("num_layers", "use_layernorm", "batch_tile", "dtype",
                      "io_dtype", "with_residual", "interpret", "emulate",
-                     "skew"),
+                     "skew", "sigmoid_impl"),
 )
 def fused_vae_gate(
     params: Dict,
@@ -258,6 +277,7 @@ def fused_vae_gate(
     interpret: bool = False,
     emulate: bool = False,
     skew: bool = True,
+    sigmoid_impl: str = "tanh",
 ) -> Tuple[jax.Array, jax.Array | None]:
     """Fused deterministic VAE pass: returns (mse [N], residual [N, T, D] | None).
 
@@ -314,9 +334,13 @@ def fused_vae_gate(
     weights = [jnp.asarray(x, jnp.float32) for x in weights]
     w_specs = [full(x.shape) for x in weights]
 
+    if sigmoid_impl not in ("tanh", "exact"):
+        raise ValueError(f"unknown sigmoid_impl {sigmoid_impl!r} "
+                         "(expected 'tanh' or 'exact')")
     kernel = functools.partial(_kernel, emulate=emulate, skew=skew,
                                T=T, H=H, num_layers=num_layers, d_real=D,
-                               use_layernorm=use_layernorm, dtype=dtype)
+                               use_layernorm=use_layernorm, dtype=dtype,
+                               sigmoid_impl=sigmoid_impl)
     mse_spec = pl.BlockSpec((1, batch_tile), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
     mse_shape = jax.ShapeDtypeStruct((1, Np), jnp.float32)

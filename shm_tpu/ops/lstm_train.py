@@ -53,11 +53,23 @@ from jax.experimental.pallas import tpu as pltpu
 F32 = jnp.float32
 
 
+def _sigmoid(x):
+    """sigmoid as ``0.5 * (tanh(x/2) + 1)``: ONE VPU transcendental. Mosaic
+    lowers ``jax.nn.sigmoid`` (logistic) as exp + divide, measurably slower
+    on these transcendental-bound kernels (tools/probe_vpu_bound.py: +13%
+    on the inference kernel; see shm_tpu/ops/fused_vae.py::_sigmoid_tanh).
+    XLA-TPU itself lowers logistic via tanh, so this matches the XLA scan
+    path on hardware; vs the exp form the difference is float-rounding
+    level. Used identically in forward AND backward recompute, so the VJP
+    stays exact for THIS forward."""
+    return 0.5 * (jnp.tanh(0.5 * x) + 1.0)
+
+
 def _cell_fwd(h, c, gates, H):
-    i = jax.nn.sigmoid(gates[0 * H:1 * H])
-    f = jax.nn.sigmoid(gates[1 * H:2 * H])
+    i = _sigmoid(gates[0 * H:1 * H])
+    f = _sigmoid(gates[1 * H:2 * H])
     g = jnp.tanh(gates[2 * H:3 * H])
-    o = jax.nn.sigmoid(gates[3 * H:4 * H])
+    o = _sigmoid(gates[3 * H:4 * H])
     c_new = f * c + i * g
     h_new = o * jnp.tanh(c_new)
     return h_new, c_new
@@ -66,10 +78,10 @@ def _cell_fwd(h, c, gates, H):
 def _cell_bwd(dh, dc_in, g_pre, c_aft, c_prev, H):
     """Backward through one LSTM cell, recomputing activations from the
     pre-activation gates ``g_pre`` and the stashed cell states."""
-    i = jax.nn.sigmoid(g_pre[0 * H:1 * H])
-    f = jax.nn.sigmoid(g_pre[1 * H:2 * H])
+    i = _sigmoid(g_pre[0 * H:1 * H])
+    f = _sigmoid(g_pre[1 * H:2 * H])
     g = jnp.tanh(g_pre[2 * H:3 * H])
-    o = jax.nn.sigmoid(g_pre[3 * H:4 * H])
+    o = _sigmoid(g_pre[3 * H:4 * H])
     tc = jnp.tanh(c_aft)
     do = dh * tc
     dc = dc_in + dh * o * (1.0 - tc * tc)
