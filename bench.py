@@ -234,6 +234,15 @@ def bench_torch_cpu(W: np.ndarray, n_sub: int = 1088) -> float:
 
 
 def main() -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--profile", metavar="DIR", default=None,
+                    help="capture a jax.profiler trace of the measured loop "
+                         "into DIR (TensorBoard-loadable); output contract "
+                         "(one JSON line) is unchanged")
+    args = ap.parse_args()
+
     workload = None
     try:
         workload = load_trained_workload()
@@ -243,7 +252,13 @@ def main() -> None:
     if workload is None:
         workload = random_workload()
 
-    rates = bench_jax(workload)
+    if args.profile:
+        from shm_tpu.utils.profiling import trace
+
+        with trace(args.profile):
+            rates = bench_jax(workload)
+    else:
+        rates = bench_jax(workload)
     try:
         # every-5th window: preserves the normal/sensor/structural mix of the
         # full workload (groups are concatenated, so a [:1088] prefix would be

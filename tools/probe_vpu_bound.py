@@ -48,9 +48,12 @@ def _rate(fn, Z, n):
     return n / ((time.perf_counter() - t0) / REPS)
 
 
-def _make_gate_kernel(sig_via_tanh: bool, interleave: int):
-    """Gate-only 2-layer skewed kernel, optionally with sigmoid-via-tanh and
-    `interleave` independent batch sub-tiles advanced in one loop."""
+def _make_gate_kernel(sig_via_tanh: bool, interleave: int,
+                      act_bf16: bool = False):
+    """Gate-only 2-layer skewed kernel, optionally with sigmoid-via-tanh,
+    `interleave` independent batch sub-tiles advanced in one loop, and
+    `act_bf16` (evaluate the transcendentals on bf16 inputs — probes whether
+    Mosaic packs bf16 VPU transcendentals 2-per-lane)."""
 
     def sig(x):
         if sig_via_tanh:
@@ -58,12 +61,16 @@ def _make_gate_kernel(sig_via_tanh: bool, interleave: int):
         return jax.nn.sigmoid(x)
 
     def step(h, c, gates, H):
+        if act_bf16:
+            gates = gates.astype(jnp.bfloat16)
         i = gates[0 * H:1 * H]
         f = gates[1 * H:2 * H]
         g = gates[2 * H:3 * H]
         o = gates[3 * H:4 * H]
-        c = sig(f) * c + sig(i) * jnp.tanh(g)
-        h = sig(o) * jnp.tanh(c)
+        c = (sig(f).astype(jnp.float32) * c
+             + sig(i).astype(jnp.float32) * jnp.tanh(g).astype(jnp.float32))
+        h = sig(o).astype(jnp.float32) * jnp.tanh(
+            c.astype(jnp.bfloat16) if act_bf16 else c).astype(jnp.float32)
         return h, c
 
     def kernel(x_ref, w1ih, w1hh, b1, w2ih, w2hh, b2, ln_s, ln_b,
@@ -155,9 +162,9 @@ def _make_gate_kernel(sig_via_tanh: bool, interleave: int):
 
 
 @functools.partial(jax.jit, static_argnames=("sig_via_tanh", "interleave",
-                                             "batch_tile"))
+                                             "batch_tile", "act_bf16"))
 def gate_variant(params, Z, *, sig_via_tanh=False, interleave=1,
-                 batch_tile=256):
+                 batch_tile=256, act_bf16=False):
     w = vae_params_to_kernel_weights(params, 2)
     N, T, D = Z.shape
     H = w["enc0_whh"].shape[1]
@@ -179,7 +186,7 @@ def gate_variant(params, Z, *, sig_via_tanh=False, interleave=1,
     full = lambda s: pl.BlockSpec(s, lambda i: tuple(0 for _ in s),
                                   memory_space=pltpu.VMEM)
     kernel = functools.partial(
-        _make_gate_kernel(sig_via_tanh, interleave),
+        _make_gate_kernel(sig_via_tanh, interleave, act_bf16),
         T=T, H=H, d_real=D, dtype=jnp.bfloat16)
     mse = pl.pallas_call(
         kernel,
@@ -220,6 +227,8 @@ def main() -> None:
         ("C_interleave2", dict(sig_via_tanh=False, interleave=2)),
         ("D_probe_baseline", dict(sig_via_tanh=False, interleave=1)),
         ("E_tanh_plus_il2", dict(sig_via_tanh=True, interleave=2)),
+        ("F_tanh_bf16_act", dict(sig_via_tanh=True, interleave=1,
+                                 act_bf16=True)),
     ]:
         fn = jax.jit(lambda Z, kw=kw: gate_variant(vae_params, Z, **kw))
         try:
