@@ -203,6 +203,7 @@ def bench_torch_cpu(W: np.ndarray, n_sub: int = 1088) -> float:
     vae = TVAE().eval()
     cnn = CNN().eval()
     X = torch.tensor(W[:n_sub])
+    n_sub = X.shape[0]                # actual count (W may be shorter)
     thr = 1.2814
     BATCH = 512
 
@@ -260,11 +261,13 @@ def main() -> None:
     else:
         rates = bench_jax(workload)
     try:
-        # every-5th window: preserves the normal/sensor/structural mix of the
-        # full workload (groups are concatenated, so a [:1088] prefix would be
-        # all-normal and skew the gate's data-dependent second pass)
+        # strided subsample spanning the WHOLE set: preserves the
+        # normal/sensor/structural mix (groups are concatenated, so a [:1088]
+        # prefix would be all-normal and skip the gate's data-dependent
+        # second pass). Ceil division so the stride never collapses to a
+        # prefix when len(W) is between 1x and 2x the subsample size.
         W_full = np.asarray(workload[4])
-        stride = max(len(W_full) // 1088, 1)
+        stride = max(-(-len(W_full) // 1088), 1)
         torch_rate = bench_torch_cpu(W_full[::stride][:1088])
     except Exception:
         torch_rate = float("nan")
