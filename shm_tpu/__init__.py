@@ -23,6 +23,7 @@ Subpackages
 - ``shm_tpu.ops``       Pallas TPU kernels for the hot paths
 - ``shm_tpu.train``     optax training loops (VAE, CNN) with KL annealing etc.
 - ``shm_tpu.pipeline``  fused hybrid gate->attribution inference
+- ``shm_tpu.serve``     production serving (bucket-batched ``HybridScorer``)
 - ``shm_tpu.evals``     metrics (confusion matrix, PRF, ROC/PR) on-device
 - ``shm_tpu.parallel``  mesh construction and data-parallel train/infer steps
 - ``shm_tpu.utils``     IO, checkpointing, plotting

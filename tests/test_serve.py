@@ -1,0 +1,106 @@
+"""HybridScorer serving surface: bucket padding, equivalence, artifacts."""
+
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from shm_tpu.config import VAEConfig
+from shm_tpu.models import CNN4DOF, vae_from_config
+from shm_tpu.pipeline import make_hybrid_fn, run_hybrid_batched
+from shm_tpu.serve import HybridScorer
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = VAEConfig(4, 3, 16, 2, 0.0, use_layernorm=True)
+    vae = vae_from_config(cfg)
+    cnn = CNN4DOF(dropout=0.0)
+    T, D = 20, 4
+    key = jax.random.PRNGKey(0)
+    vae_params = vae.init({"params": key}, jnp.zeros((2, T, D)))["params"]
+    cnn_vars = cnn.init({"params": key}, jnp.zeros((2, T, D, 2)))
+    W = np.asarray(jax.random.normal(jax.random.PRNGKey(1), (70, T, D)),
+                   np.float32)
+    mean = np.zeros((D,), np.float32)
+    std = np.ones((D,), np.float32)
+    return vae, cnn, vae_params, cnn_vars, W, mean, std
+
+
+def _scorer(setup, **kw):
+    vae, cnn, vae_params, cnn_vars, W, mean, std = setup
+    return HybridScorer(vae, cnn, vae_params, cnn_vars, mean, std, 1.0,
+                        use_fused_vae=False, **kw)
+
+
+def test_score_matches_run_hybrid_batched(setup):
+    vae, cnn, vae_params, cnn_vars, W, mean, std = setup
+    scorer = _scorer(setup, min_bucket=16, max_batch=64)
+    got = scorer.score(W)
+
+    fn = make_hybrid_fn(vae, cnn)
+    ref = run_hybrid_batched(fn, vae_params, cnn_vars, W, mean, std, 1.0)
+    for k in ("mse", "anomalous", "y_pred", "p_struct"):
+        np.testing.assert_allclose(np.asarray(got[k], np.float64),
+                                   np.asarray(ref[k], np.float64),
+                                   atol=1e-6, err_msg=k)
+
+
+def test_bucket_padding_invariance(setup):
+    """Outputs must not depend on which padded bucket a window rides in."""
+    _, _, _, _, W, _, _ = setup
+    scorer = _scorer(setup, min_bucket=16, max_batch=64)
+    full = scorer.score(W)               # 64-batch + 16-bucket (70 windows)
+    tiny = scorer.score(W[:3])           # rides a 16-bucket with 13 pad rows
+    np.testing.assert_allclose(tiny["mse"], full["mse"][:3], atol=1e-6)
+    np.testing.assert_array_equal(tiny["y_pred"], full["y_pred"][:3])
+
+
+def test_bucket_shapes(setup):
+    scorer = _scorer(setup, min_bucket=16, max_batch=128)
+    assert list(scorer.buckets()) == [16, 32, 64, 128]
+    assert scorer._bucket(1) == 16
+    assert scorer._bucket(17) == 32
+    assert scorer._bucket(500) == 128
+
+
+def test_empty_and_bad_input(setup):
+    scorer = _scorer(setup)
+    out = scorer.score(np.zeros((0, 20, 4), np.float32))
+    assert all(v.shape == (0,) for v in out.values())
+    with pytest.raises(ValueError, match="windows"):
+        scorer.score(np.zeros((5, 20), np.float32))
+    with pytest.raises(ValueError, match="min_bucket"):
+        _scorer(setup, min_bucket=64, max_batch=32)
+
+
+def test_warmup_compiles_buckets(setup):
+    scorer = _scorer(setup, min_bucket=16, max_batch=32)
+    scorer.warmup(seq_len=20, num_features=4)   # must not raise
+
+
+@pytest.mark.skipif(
+    not (REPO / "data/4dof/models/temporal_vae.msgpack").exists(),
+    reason="trained 4DOF artifacts not present")
+def test_from_artifacts_scores_trained_model():
+    """End-to-end on the committed trained artifacts (XLA path on CPU):
+    healthy windows must score under the stored threshold."""
+    from shm_tpu.cli.stage4dof import Paths, build_fraction_windows
+    from shm_tpu.config import Stage4DofConfig
+    from shm_tpu.utils.io import load_json
+
+    scorer = HybridScorer.from_artifacts(REPO / "data/4dof",
+                                         use_fused_vae=False)
+    cfg = Stage4DofConfig()
+    splits = load_json(Paths(str(REPO / "data/4dof")).run_splits)
+    W = build_fraction_windows(splits["normal"]["files"][:1], cfg.test_frac,
+                               cfg)[:64]
+    out = scorer.score(W)
+    assert out["mse"].shape == (len(W),)
+    # trained gate: healthy windows overwhelmingly below threshold
+    assert (~out["anomalous"]).mean() > 0.9
+    assert (out["y_pred"][~out["anomalous"].astype(bool)] == 0).all()
