@@ -22,6 +22,11 @@ Example::
     scorer.warmup()
     out = scorer.score(windows)          # dict of numpy arrays
     out["y_pred"]                        # 0=Normal, 1=Sensor, 2=Structural
+
+Multi-chip: pass ``mesh=shm_tpu.parallel.make_mesh(n)`` to shard each
+request's batch over the mesh via ``shard_map`` (each device runs the full
+pipeline — including the Pallas kernel — on its shard; equivalence pinned
+on an 8-virtual-device mesh in tests/test_serve.py).
 """
 
 from __future__ import annotations
@@ -55,15 +60,35 @@ class HybridScorer:
                  mean, std, threshold: float, *,
                  use_fused_vae: Optional[bool] = None,
                  fused_dtype=jnp.bfloat16,
-                 min_bucket: int = 256, max_batch: int = 8192):
+                 min_bucket: int = 256, max_batch: int = 8192,
+                 mesh=None):
         if min_bucket < 1 or max_batch < min_bucket:
             raise ValueError("need 1 <= min_bucket <= max_batch")
         if use_fused_vae is None:
             use_fused_vae = (jax.default_backend() in ("tpu", "axon")
                              and vae_model.num_layers in (1, 2))
-        self._fn = make_hybrid_fn(vae_model, cnn_model,
-                                  use_fused_vae=use_fused_vae,
-                                  fused_dtype=fused_dtype)
+        if mesh is not None:
+            # multi-chip serving: each device runs the full pipeline on its
+            # batch shard (shard_map — works with the Pallas kernel too,
+            # which jit auto-partitioning cannot split). Buckets must divide
+            # evenly across the mesh.
+            n_dev = mesh.devices.size
+            if min_bucket % n_dev or max_batch % n_dev:
+                raise ValueError(
+                    f"min_bucket/max_batch must be multiples of the mesh "
+                    f"size ({n_dev}); got {min_bucket}/{max_batch}")
+            from shm_tpu.parallel.mesh import make_dp_hybrid_shardmap
+
+            sm = make_dp_hybrid_shardmap(vae_model, cnn_model, mesh,
+                                         use_fused_vae=use_fused_vae,
+                                         fused_dtype=fused_dtype)
+            self._fn = (lambda vp, cv, W, mean, std, thr, key=None:
+                        sm(vp, cv, W, mean, std, thr))
+        else:
+            self._fn = make_hybrid_fn(vae_model, cnn_model,
+                                      use_fused_vae=use_fused_vae,
+                                      fused_dtype=fused_dtype)
+        self.mesh = mesh
         self.use_fused_vae = use_fused_vae
         self.vae_params = jax.device_put(vae_params)
         self.cnn_variables = jax.device_put(cnn_variables)

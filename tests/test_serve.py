@@ -104,3 +104,26 @@ def test_from_artifacts_scores_trained_model():
     # trained gate: healthy windows overwhelmingly below threshold
     assert (~out["anomalous"]).mean() > 0.9
     assert (out["y_pred"][~out["anomalous"].astype(bool)] == 0).all()
+
+
+def test_mesh_sharded_scorer_matches_single_device(setup):
+    """Multi-chip serving: the shard_map-backed scorer on an 8-virtual-device
+    mesh produces the same outputs as the single-device path."""
+    from shm_tpu.parallel import make_mesh
+
+    vae, cnn, vae_params, cnn_vars, W, mean, std = setup
+    mesh = make_mesh(8)
+    sharded = HybridScorer(vae, cnn, vae_params, cnn_vars, mean, std, 1.0,
+                           use_fused_vae=False, min_bucket=16, max_batch=64,
+                           mesh=mesh)
+    single = _scorer(setup, min_bucket=16, max_batch=64)
+    got, ref = sharded.score(W), single.score(W)
+    for k in ("mse", "anomalous", "y_pred", "p_struct"):
+        np.testing.assert_allclose(np.asarray(got[k], np.float64),
+                                   np.asarray(ref[k], np.float64),
+                                   atol=1e-6, err_msg=k)
+
+    with pytest.raises(ValueError, match="mesh"):
+        HybridScorer(vae, cnn, vae_params, cnn_vars, mean, std, 1.0,
+                     use_fused_vae=False, min_bucket=12, max_batch=64,
+                     mesh=mesh)
