@@ -12,7 +12,8 @@ sequence-recurrent op must be expressed as a scan; the key performance moves her
    4DOF/Scripts/Models/temporal_vae.py:67-68). ``broadcast_steps`` computes that
    projection once as [B, 4H] — no [B, T, 4H] materialization at all.
 3. Batched windows (N in the thousands) keep the recurrent matmul wide enough for
-   the MXU; see ``shm_tpu.ops.lstm_pallas`` for the fused Pallas kernel variant.
+   the MXU; see ``shm_tpu.ops.fused_vae`` (fused inference kernel) and
+   ``shm_tpu.ops.lstm_train`` (custom-VJP training kernels) for the Pallas variants.
 
 Weight layout/init mirrors torch's LSTM (four gates i|f|g|o concatenated, uniform
 (-1/sqrt(H), 1/sqrt(H)) init) so training dynamics are comparable.
