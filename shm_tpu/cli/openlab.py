@@ -321,9 +321,21 @@ def cmd_train_cnn(paths: Paths, cfg: OpenLabConfig, epochs: Optional[int] = None
     print(f"Train windows: {len(ytr)} (SF={(ytr == 0).sum()}, ST={(ytr == 1).sum()})")
     print(f"Val windows  : {len(yva)} (SF={(yva == 0).sum()}, ST={(yva == 1).sum()})")
 
+    # PLAIN mean/std over RAW windows, exactly as the reference
+    # (Codes/06_train_cnn.py:124-125) — NOT nan-aware, deliberately: raw
+    # SF windows carry NaN, so a channel with any NaN gets NaN stats and
+    # standardize_clip's nan_to_num then zeroes that channel everywhere
+    # (train/val/test AND the hybrid). The committed bridge data does this
+    # to LWA_4. Faithful parity, but loud about it:
     mu = Xtr.mean(axis=(0, 1)).astype(np.float32)
     sd = Xtr.std(axis=(0, 1)).astype(np.float32)
     sd = np.where(sd < 1e-8, 1.0, sd).astype(np.float32)
+    dead = np.isnan(mu) | np.isnan(sd)
+    if dead.any():
+        print(f"[WARN] NaN raw-window stats zero out channel(s) "
+              f"{np.where(dead)[0].tolist()} for CNN training AND serving "
+              "(reference-faithful: 06_train_cnn.py:124-125 has the same "
+              "behavior on NaN-bearing raw windows).")
     art = ensure_dir(paths.cnn_dir / "artifacts")
     save_npy(np.stack([mu, sd]), art / "cnn_raw_mu_sd.npy")
 
@@ -375,7 +387,9 @@ def cmd_train_cnn(paths: Paths, cfg: OpenLabConfig, epochs: Optional[int] = None
     tuned = tune_threshold_st_first(probs[:, 1], yva,
                                     p_min_st=cfg.st_precision_floor,
                                     beta_for_f2_st=2.0,
-                                    grid_points=cfg.threshold_grid_points)
+                                    grid_points=cfg.threshold_grid_points,
+                                    grid_lo=cfg.threshold_grid_lo,
+                                    grid_hi=cfg.threshold_grid_hi)
     info = {
         "best_epoch": res.best_epoch, "stopped_epoch": res.stopped_epoch,
         "best_st_f2": res.best_metric, "val": tuned,
@@ -419,7 +433,9 @@ def cmd_validate_cnn(paths: Paths, cfg: OpenLabConfig, split_name: str = "val") 
     if split_name == "val":
         tuned = tune_threshold_st_first(p_st, y, p_min_st=cfg.st_precision_floor,
                                         beta_for_f2_st=2.0,
-                                        grid_points=cfg.threshold_grid_points)
+                                        grid_points=cfg.threshold_grid_points,
+                                    grid_lo=cfg.threshold_grid_lo,
+                                    grid_hi=cfg.threshold_grid_hi)
         thr = tuned["t"]
         save_npy(np.array([thr], np.float32), art / "cnn_best_threshold.npy")
         extra = {"tuning": tuned}
@@ -491,7 +507,9 @@ def cmd_train_ml(paths: Paths, cfg: OpenLabConfig,
             p_va = get_prob_st(model, Xva)
             tuned = tune_threshold_st_first(
                 p_va, yva, p_min_st=cfg.st_precision_floor, beta_for_f2_st=2.0,
-                grid_points=cfg.threshold_grid_points)
+                grid_points=cfg.threshold_grid_points,
+                                    grid_lo=cfg.threshold_grid_lo,
+                                    grid_hi=cfg.threshold_grid_hi)
             joblib.dump(model, art / f"{name}.joblib")
             save_npy(np.array([tuned["t"]], np.float32), art / f"{name}_threshold.npy")
             row = {"name": name, "status": "ok", "seconds": time.perf_counter() - t0,
@@ -525,7 +543,9 @@ def cmd_validate_ml(paths: Paths, cfg: OpenLabConfig, split_name: str = "val") -
         if split_name == "val":
             tuned = tune_threshold_st_first(
                 p_st, ye, p_min_st=cfg.st_precision_floor, beta_for_f2_st=2.0,
-                grid_points=cfg.threshold_grid_points)
+                grid_points=cfg.threshold_grid_points,
+                                    grid_lo=cfg.threshold_grid_lo,
+                                    grid_hi=cfg.threshold_grid_hi)
             thr = tuned["t"]
             save_npy(np.array([thr], np.float32), art / f"{name}_threshold.npy")
         else:

@@ -120,15 +120,26 @@ def run_based_split(
     import random as _random
 
     ids = sorted(str(r) for r in run_ids)
+    n = len(ids)
+    if n < 3:
+        # reference guard (Codes/02_make_splits.py): each split needs >= 1
+        # run; with n <= 2 the max(1, ...) floors below could never satisfy
+        # n_tr + n_va + n_te == n (the fix-up loop would spin forever).
+        raise ValueError(f"Need at least 3 runs for a train/val/test split, "
+                         f"got {n}")
     rng = _random.Random()
     rng.seed(seed)
     rng.shuffle(ids)
-    n = len(ids)
     n_tr = max(1, int(round(train_frac * n)))
     n_va = max(1, int(round(val_frac * n)))
     n_te = max(1, n - n_tr - n_va)
     while n_tr + n_va + n_te > n:
-        n_te = max(1, n_te - 1)
+        if n_te > 1:
+            n_te -= 1
+        elif n_va > 1:
+            n_va -= 1
+        else:
+            n_tr -= 1
     while n_tr + n_va + n_te < n:
         n_te += 1
     return {

@@ -33,6 +33,7 @@ class TreeEnsemble(NamedTuple):
     left: jax.Array        # (n_trees, max_nodes) int32
     right: jax.Array       # (n_trees, max_nodes) int32
     value: jax.Array       # (n_trees, max_nodes, n_out) f32 (class probs or score)
+    missing_left: jax.Array  # (n_trees, max_nodes) bool: NaN feature goes left
     depth: int             # max tree depth (static iteration bound)
     kind: str              # "prob" (average probs) | "raw" (sum scores -> sigmoid)
     base_score: float      # additive offset for "raw" ensembles
@@ -52,8 +53,13 @@ def _export_sklearn_tree(tree, n_out: int, normalize: bool) -> tuple:
         val = val / np.where(s > 0, s, 1.0)
     if val.shape[1] != n_out:
         raise ValueError(f"tree value width {val.shape[1]} != {n_out}")
+    # sklearn >= 1.3 trees route NaN per-node (native missing support);
+    # older trees never see NaN (imputed pipelines) -> all-False is exact
+    ml = getattr(t, "missing_go_to_left", None)
+    ml = (np.zeros(n, bool) if ml is None
+          else np.asarray(ml, bool)[:n])
     depth = int(t.max_depth)
-    return feat, thr, left, right, val.astype(np.float32), depth
+    return feat, thr, left, right, val.astype(np.float32), ml, depth
 
 
 def _pad_stack(arrs, fill):
@@ -98,8 +104,8 @@ def export_ensemble(model) -> TreeEnsemble:
         # sklearn GB binary: raw = init + lr * sum(tree outputs)
         kind = "raw"
         base = float(model._raw_predict_init(np.zeros((1, model.n_features_in_))))
-        trees = [(f, t, l, r, v * model.learning_rate, d)
-                 for (f, t, l, r, v, d) in trees]
+        trees = [(f, t, l, r, v * model.learning_rate, m, d)
+                 for (f, t, l, r, v, m, d) in trees]
     elif isinstance(model, HistGradientBoostingClassifier):
         if len(model.classes_) != 2:
             raise NotImplementedError("binary HGB only")
@@ -113,8 +119,12 @@ def export_ensemble(model) -> TreeEnsemble:
             left = nodes["left"].astype(np.int32)
             right = nodes["right"].astype(np.int32)
             val = nodes["value"].astype(np.float32)[:, None]
+            # HGB handles NaN natively (no imputer in the zoo for it) and
+            # records the per-node NaN direction — sklearn parity requires
+            # honoring it (a bare `fv <= thr` sends every NaN right)
+            ml = nodes["missing_go_to_left"].astype(bool)
             depth = int(nodes["depth"].max()) + 1
-            trees.append((feat, thr, left, right, val, depth))
+            trees.append((feat, thr, left, right, val, ml, depth))
         kind = "raw"
         base = float(model._baseline_prediction.ravel()[0])
     else:
@@ -125,11 +135,13 @@ def export_ensemble(model) -> TreeEnsemble:
     left = _pad_stack([t[2] for t in trees], 0)
     right = _pad_stack([t[3] for t in trees], 0)
     val = _pad_stack([t[4] for t in trees], 0.0)
-    depth = max(t[5] for t in trees)
+    ml = _pad_stack([t[5] for t in trees], False)
+    depth = max(t[6] for t in trees)
     return TreeEnsemble(
         feature=jnp.asarray(feat), threshold=jnp.asarray(thr),
         left=jnp.asarray(left), right=jnp.asarray(right),
-        value=jnp.asarray(val), depth=depth, kind=kind, base_score=base,
+        value=jnp.asarray(val), missing_left=jnp.asarray(ml),
+        depth=depth, kind=kind, base_score=base,
     )
 
 
@@ -153,13 +165,14 @@ def ensemble_predict_proba(ens: TreeEnsemble, X: jax.Array) -> jax.Array:
     """
     X = jnp.asarray(X, jnp.float32)
 
-    def one_tree(feat, thr, left, right, val):
+    def one_tree(feat, thr, left, right, val, ml):
         def descend(x):
             def body(_, node):
                 f = feat[node]
                 is_leaf = f < 0
                 fv = x[jnp.maximum(f, 0)]
-                nxt = jnp.where(fv <= thr[node], left[node], right[node])
+                go_left = jnp.where(jnp.isnan(fv), ml[node], fv <= thr[node])
+                nxt = jnp.where(go_left, left[node], right[node])
                 return jnp.where(is_leaf, node, nxt)
 
             node = jax.lax.fori_loop(0, ens.depth, body, jnp.int32(0))
@@ -168,7 +181,8 @@ def ensemble_predict_proba(ens: TreeEnsemble, X: jax.Array) -> jax.Array:
         return jax.vmap(descend)(X)                 # (N, n_out)
 
     per_tree = jax.vmap(one_tree)(ens.feature, ens.threshold, ens.left,
-                                  ens.right, ens.value)   # (T, N, n_out)
+                                  ens.right, ens.value,
+                                  ens.missing_left)   # (T, N, n_out)
     if ens.kind == "prob":
         probs = per_tree.mean(axis=0)               # (N, n_classes)
         return probs[:, 1]

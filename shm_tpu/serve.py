@@ -42,10 +42,6 @@ import jax.numpy as jnp
 from shm_tpu.pipeline import make_hybrid_fn
 
 
-def _next_pow2(n: int) -> int:
-    return 1 << max(n - 1, 1).bit_length()
-
-
 class HybridScorer:
     """Artifact-loaded, bucket-batched scorer for the fused hybrid pipeline.
 
@@ -123,7 +119,14 @@ class HybridScorer:
 
     # ------------------------------------------------------------------
     def _bucket(self, n: int) -> int:
-        return min(max(_next_pow2(n), self.min_bucket), self.max_batch)
+        # walk the SAME min_bucket * 2^k series buckets()/warmup enumerate —
+        # a pure next-power-of-two here would dispatch shapes warmup never
+        # compiled (and could break mesh divisibility) whenever min_bucket
+        # is not itself a power of two.
+        b = self.min_bucket
+        while b < n and b < self.max_batch:
+            b *= 2
+        return min(b, self.max_batch)
 
     def buckets(self) -> Sequence[int]:
         """Every padded batch shape this scorer can dispatch."""

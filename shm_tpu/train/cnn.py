@@ -132,10 +132,14 @@ def train_cnn(
             mask = jnp.concatenate([jnp.ones((N,), jnp.float32),
                                     jnp.zeros((pad,), jnp.float32)])
         else:
-            # WeightedRandomSampler(replacement=True) semantics: draw N samples
-            # proportional to weights each epoch (Codes/06_train_cnn.py:379-392)
-            idx = jax.random.choice(kperm, N, (nb * bs,), replace=True, p=weights)
-            mask = jnp.ones((nb * bs,), jnp.float32)
+            # WeightedRandomSampler(replacement=True) semantics: draw EXACTLY
+            # N samples proportional to weights each epoch
+            # (Codes/06_train_cnn.py:379-392 — num_samples=N, last batch
+            # short); the pad tail is masked out, not extra draws.
+            idx = jax.random.choice(kperm, N, (N,), replace=True, p=weights)
+            idx = jnp.concatenate([idx, jnp.zeros((pad,), idx.dtype)]) if pad else idx
+            mask = jnp.concatenate([jnp.ones((N,), jnp.float32),
+                                    jnp.zeros((pad,), jnp.float32)])
         return idx.reshape(nb, bs), mask.reshape(nb, bs), jax.random.split(kbatch, nb)
 
     @jax.jit

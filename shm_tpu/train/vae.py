@@ -127,6 +127,11 @@ def train_vae(
 
     tx = make_optimizer(cfg)
     root = jax.random.PRNGKey(cfg.seed)
+    # the whole key schedule (epoch_keys below) derives from cfg.seed AND
+    # whether an init split is consumed here — recorded in checkpoints so a
+    # resume with mismatched init_params-presence fails loudly instead of
+    # silently diverging the trajectory
+    init_consumed = init_params is None
     if init_params is None:
         k_init, root = jax.random.split(root)
         init_params = model.init(
@@ -362,10 +367,18 @@ def train_vae(
             restored = load_train_ckpt(ckpt_path, template)
             if restored is not None:
                 arrays, meta = restored
+                if meta.get("init_consumed", init_consumed) != init_consumed:
+                    raise ValueError(
+                        "checkpoint was written with a different "
+                        "init_params-presence than this resume call; the "
+                        "epoch key schedule would silently diverge "
+                        f"(checkpoint init_consumed={meta['init_consumed']})")
                 params = arrays["params"]
                 opt_state = arrays["opt_state"]
                 best_params = arrays["best_params"]
-                root = arrays["rng"]
+                # NOTE: arrays["rng"] is stored for inspection only — the key
+                # schedule is re-derived from cfg.seed (+ init_consumed), so
+                # resume reproduces the original trajectory bit-for-bit
                 hist = meta["history"]
                 best_val = meta["best_val"]
                 best_epoch = meta["best_epoch"]
@@ -408,7 +421,7 @@ def train_vae(
                 {"params": params, "opt_state": opt_state,
                  "best_params": best_params, "rng": root},
                 {"epoch": epoch, "best_val": best_val, "best_epoch": best_epoch,
-                 "history": hist},
+                 "history": hist, "init_consumed": init_consumed},
             )
 
     return VAETrainResult(

@@ -58,3 +58,28 @@ def test_pipeline_with_imputer(data):
     Xd = transform_features(pipe, Xt_n)
     ours = np.asarray(ensemble_predict_proba(ens, Xd))
     np.testing.assert_allclose(ours, ref, atol=2e-6)
+
+
+def test_hgb_nan_routing_matches_sklearn():
+    """HGB is served WITHOUT an imputer (native NaN handling) — the device
+    path must honor the per-node missing_go_to_left direction instead of
+    sending every NaN right."""
+    from sklearn.ensemble import HistGradientBoostingClassifier
+
+    from shm_tpu.models.forest_jax import (
+        ensemble_predict_proba, export_ensemble,
+    )
+
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(400, 8)).astype(np.float64)
+    X[rng.random(X.shape) < 0.15] = np.nan          # NaNs in TRAIN too
+    y = (np.nan_to_num(X[:, 0]) + 0.5 * np.nan_to_num(X[:, 2]) > 0).astype(int)
+    model = HistGradientBoostingClassifier(random_state=0, max_iter=50,
+                                           learning_rate=0.1).fit(X, y)
+
+    Xt = rng.normal(size=(200, 8)).astype(np.float64)
+    Xt[rng.random(Xt.shape) < 0.25] = np.nan        # heavy NaN at serve time
+    ref = model.predict_proba(Xt)[:, 1]
+    ours = np.asarray(ensemble_predict_proba(export_ensemble(model),
+                                             Xt.astype(np.float32)))
+    np.testing.assert_allclose(ours, ref, atol=5e-5)

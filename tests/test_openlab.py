@@ -181,3 +181,15 @@ def test_extraction_golden_label_parity():
     assert counts["Sensor Fault"] == 3423
     assert counts["Normal"] == 1865
     assert counts["Structural Fault"] == 1144
+
+
+def test_run_based_split_too_few_runs_raises():
+    """n <= 2 runs must raise loudly (the reference's 'at least 3 runs'
+    guard) — the rounding fix-up loop could otherwise spin forever."""
+    import pytest
+
+    from shm_tpu.data.splits import run_based_split
+
+    for ids in (["a"], ["a", "b"]):
+        with pytest.raises(ValueError, match="at least 3"):
+            run_based_split(ids)
