@@ -57,7 +57,7 @@ class HybridScorer:
                  use_fused_vae: Optional[bool] = None,
                  fused_dtype=jnp.bfloat16,
                  min_bucket: int = 256, max_batch: int = 8192,
-                 mesh=None):
+                 mesh=None, seq_len: Optional[int] = None):
         if min_bucket < 1 or max_batch < min_bucket:
             raise ValueError("need 1 <= min_bucket <= max_batch")
         if use_fused_vae is None:
@@ -93,6 +93,10 @@ class HybridScorer:
         self.threshold = jnp.float32(threshold)
         self.min_bucket = int(min_bucket)
         self.max_batch = int(max_batch)
+        # the window length this scorer serves; warmup() must compile the
+        # shapes live traffic will dispatch, so T flows from the config/
+        # artifacts (an openLAB-preset scorer serves T=200, not 100)
+        self.seq_len = int(seq_len) if seq_len is not None else None
 
     # ------------------------------------------------------------------
     @classmethod
@@ -110,11 +114,16 @@ class HybridScorer:
         paths = Paths(str(root))
         mean, std = _load_stats(paths)
         vae, vae_params = _load_vae(paths, cfg)
-        cnn = CNN4DOF(dropout=cfg.cnn.dropout, dtype=jnp.bfloat16)
+        # bf16 CNN compute: serving default (MXU-friendly); the f32-evaluated
+        # CLI path (cli/stage4dof.py cmd_test_pipeline) and this bf16 path are
+        # equivalence-tested on the trained artifacts in tests/test_serve.py
+        # (gate decision + 3-class prediction agreement).
+        cnn = CNN4DOF(dropout=cfg.cnn.dropout, dtype=kw.pop("cnn_dtype", jnp.bfloat16))
         template = cnn.init({"params": jax.random.PRNGKey(0)},
                             jnp.zeros((2, cfg.seq_len, cfg.num_features, 2)))
         cnn_vars = load_params(template, paths.models / "cnn.msgpack")
         thr = float(load_json(paths.processed / "vae_threshold.json")["threshold"])
+        kw.setdefault("seq_len", cfg.seq_len)
         return cls(vae, cnn, vae_params, cnn_vars, mean, std, thr, **kw)
 
     # ------------------------------------------------------------------
@@ -141,9 +150,17 @@ class HybridScorer:
                seq_len: Optional[int] = None,
                num_features: Optional[int] = None) -> None:
         """Compile every bucket shape before serving traffic. Shapes are
-        inferred from the mean/std feature dim unless given explicitly."""
+        inferred from the scorer's ``seq_len`` (set by ``from_artifacts`` from
+        the stage config) and the mean/std feature dim unless given explicitly."""
         D = num_features or int(self.mean.shape[-1])
-        T = seq_len or 100
+        T = seq_len or self.seq_len
+        if T is None:
+            raise ValueError(
+                "warmup() needs the serving window length: construct the "
+                "scorer with seq_len=, use from_artifacts(), or pass seq_len= "
+                "here — warming a guessed T would compile shapes live traffic "
+                "never dispatches and recompile (30s-5min/shape) on the first "
+                "real request")
         for b in (batch_sizes or self.buckets()):
             W = np.zeros((b, T, D), np.float32)
             out = self._fn(self.vae_params, self.cnn_variables,

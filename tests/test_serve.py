@@ -83,6 +83,28 @@ def test_warmup_compiles_buckets(setup):
     scorer.warmup(seq_len=20, num_features=4)   # must not raise
 
 
+def test_warmup_uses_scorer_seq_len_no_recompile(setup):
+    """A scorer built with seq_len= warms the shapes live traffic dispatches:
+    after warmup(), score() must hit only compiled buckets (cache size frozen).
+    Guards the ADVICE/VERDICT finding that a hardcoded T=100 default silently
+    recompiled every bucket on first traffic for T != 100 deployments."""
+    _, _, _, _, W, _, _ = setup          # T = 20 here (stands in for T=200)
+    scorer = _scorer(setup, min_bucket=16, max_batch=32, seq_len=W.shape[1])
+    scorer.warmup()                      # no explicit seq_len: must use self.seq_len
+    n_compiled = scorer._fn._cache_size()
+    assert n_compiled >= 2               # both buckets warmed
+    scorer.score(W[:3])                  # 16-bucket
+    scorer.score(W[:50])                 # 32 + 32 batches
+    assert scorer._fn._cache_size() == n_compiled, \
+        "live traffic recompiled a shape warmup should have covered"
+
+
+def test_warmup_without_seq_len_raises(setup):
+    scorer = _scorer(setup)              # no seq_len known
+    with pytest.raises(ValueError, match="seq_len"):
+        scorer.warmup()
+
+
 @pytest.mark.skipif(
     not (REPO / "data/4dof/models/temporal_vae.msgpack").exists(),
     reason="trained 4DOF artifacts not present")
@@ -104,6 +126,41 @@ def test_from_artifacts_scores_trained_model():
     # trained gate: healthy windows overwhelmingly below threshold
     assert (~out["anomalous"]).mean() > 0.9
     assert (out["y_pred"][~out["anomalous"].astype(bool)] == 0).all()
+
+
+@pytest.mark.skipif(
+    not (REPO / "data/4dof/models/temporal_vae.msgpack").exists(),
+    reason="trained 4DOF artifacts not present")
+def test_from_artifacts_bf16_cnn_matches_f32_cli_path():
+    """Serving default (bf16 CNN) vs the f32-evaluated CLI path on the trained
+    artifacts: gate decisions and 3-class predictions must agree (project
+    convention: every alternative compute path is equivalence-tested)."""
+    import jax.numpy as jnp
+
+    from shm_tpu.cli.stage4dof import Paths, build_fraction_windows
+    from shm_tpu.config import Stage4DofConfig
+    from shm_tpu.utils.io import load_json
+
+    root = REPO / "data/4dof"
+    cfg = Stage4DofConfig()
+    splits = load_json(Paths(str(root)).run_splits)
+    groups = [build_fraction_windows(splits[g]["files"][:1], cfg.test_frac, cfg)
+              for g in ("normal", "sensor_fault", "structural_fault")
+              if splits.get(g, {}).get("files")]
+    W = np.concatenate([g[:40] for g in groups])   # mixed classes
+
+    bf16 = HybridScorer.from_artifacts(root, use_fused_vae=False,
+                                       min_bucket=64, max_batch=128)
+    f32 = HybridScorer.from_artifacts(root, use_fused_vae=False,
+                                      cnn_dtype=jnp.float32,
+                                      min_bucket=64, max_batch=128)
+    assert bf16.seq_len == cfg.seq_len == 100     # T flows from the config
+    a, b = bf16.score(W), f32.score(W)
+    np.testing.assert_allclose(a["mse"], b["mse"], rtol=1e-5)
+    np.testing.assert_array_equal(a["anomalous"], b["anomalous"])
+    np.testing.assert_array_equal(a["y_pred"], b["y_pred"])
+    # bf16 CNN logits move softmax scores by O(1e-2); decisions above agree
+    np.testing.assert_allclose(a["p_struct"], b["p_struct"], atol=2e-2)
 
 
 def test_mesh_sharded_scorer_matches_single_device(setup):
