@@ -165,54 +165,142 @@ def windowize_1d(x: np.ndarray, seq_len: int, stride: int) -> Tuple[np.ndarray, 
 
 
 # ---------------------------------------------------------------------------
-# weak-supervision helpers (feature_utils.py:204-361)
+# weak-supervision silver rules — batch-vectorized over window stacks
+#
+# RULE-SPEC PARITY: the *semantics* of every metric below (finite-sample
+# denominators, >= vs > comparisons, the <5-finite-samples stuck guard, the
+# SF-any precedence) are the reference's weak-labeling rule specification at
+# Codes/feature_utils.py:204-361 and must match it exactly — the thresholds
+# ARE the label definition. The *structure* is this framework's: one pass
+# over an (N, T) window stack per run (axis-1 reductions on masked arrays)
+# instead of the reference's per-window scalar helpers; the public scalar
+# API below wraps the batch kernels for single windows.
 # ---------------------------------------------------------------------------
 
 
+def _masked_rowvar(X: np.ndarray, ok: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-row (population) variance over finite entries + finite counts."""
+    cnt = ok.sum(axis=1)
+    denom = np.maximum(cnt, 1)
+    mean = np.where(ok, X, 0.0).sum(axis=1) / denom
+    var = np.where(ok, (X - mean[:, None]) ** 2, 0.0).sum(axis=1) / denom
+    return var, cnt
+
+
+def silver_flag_metrics_batch(
+    U_raw: np.ndarray,
+    U_clean: np.ndarray | None = None,
+    F: np.ndarray | None = None,
+    *,
+    jump_th: float = 1.0,
+    abs_th: float = 65.0,
+    invalid_ratio_th: float = 0.05,
+    var_eps: float = 1e-6,
+    force_rng_min: float = 0.0,
+    use_plain_stuck: bool = True,
+) -> Dict[str, np.ndarray]:
+    """All six silver-rule SF metrics for an (N, T) window stack at once.
+
+    Rule spec: Codes/feature_utils.py:302-361 (``sensor_fault_silver_flags``
+    aggregate; per-metric definitions at :204-260). Returns float/int arrays
+    of shape (N,).
+    """
+    U = np.atleast_2d(np.asarray(U_raw, dtype=float))
+    N, T = U.shape
+    fin = np.isfinite(U)
+
+    # invalid ratio over ALL samples (denominator T, not finite count) — :204-206
+    inv_ratio = (~fin).mean(axis=1) if T else np.zeros(N)
+
+    # jump ratio over finite-adjacent pairs (ratio of |diff| >= th among
+    # finite pairs; rows with no finite pair score 0) — :209-216
+    if T < 2:
+        jr = np.zeros(N)
+    else:
+        pair_ok = fin[:, :-1] & fin[:, 1:]
+        n_pairs = pair_ok.sum(axis=1)
+        hits = (pair_ok & (np.abs(np.diff(U, axis=1)) >= float(jump_th))).sum(axis=1)
+        jr = np.where(n_pairs > 0, hits / np.maximum(n_pairs, 1), 0.0)
+
+    # range-violation ratio among finite samples — :219-224
+    n_fin = fin.sum(axis=1)
+    rv_hits = (fin & (np.abs(np.where(fin, U, 0.0)) >= float(abs_th))).sum(axis=1)
+    rr = np.where(n_fin > 0, rv_hits / np.maximum(n_fin, 1), 0.0)
+
+    # stuck: variance of finite samples < eps, needing >= 5 finite — :227-232
+    Us = (np.atleast_2d(np.asarray(U_clean, dtype=float))
+          if U_clean is not None else U)
+    s_fin = np.isfinite(Us)
+    var_u, cnt_u = _masked_rowvar(Us, s_fin)
+    stuck = (cnt_u >= 5) & (var_u < float(var_eps))
+
+    # force-aware stuck: flat displacement WHILE the load swings — :235-244
+    if F is not None and force_rng_min > 0.0:
+        Fa = np.atleast_2d(np.asarray(F, dtype=float))
+        f_fin = np.isfinite(Fa)
+        f_cnt = f_fin.sum(axis=1)
+        f_max = np.where(f_fin, Fa, -np.inf).max(axis=1)
+        f_min = np.where(f_fin, Fa, np.inf).min(axis=1)
+        stuck_fa = ((cnt_u >= 5) & (f_cnt >= 5) & (var_u < float(var_eps))
+                    & (f_max - f_min > float(force_rng_min)))
+    else:
+        stuck_fa = np.zeros(N, dtype=bool)
+
+    stuck_term = stuck_fa | (stuck if use_plain_stuck else False)
+    sf_any = ((inv_ratio >= float(invalid_ratio_th)) | (jr > 0.0) | (rr > 0.0)
+              | stuck_term)
+    return {
+        "invalid_ratio": inv_ratio.astype(float),
+        "jump_ratio": jr.astype(float),
+        "range_violation_ratio": rr.astype(float),
+        "stuck": stuck.astype(int),
+        "stuck_forceaware": stuck_fa.astype(int),
+        "sf_any": sf_any.astype(int),
+    }
+
+
 def invalid_ratio_1d(x: np.ndarray) -> float:
+    """Non-finite fraction (rule spec: Codes/feature_utils.py:204-206)."""
     x = np.asarray(x, dtype=float)
     return float(np.mean(~np.isfinite(x))) if x.size else 0.0
 
 
 def jump_ratio_1d(x: np.ndarray, delta: float) -> float:
-    x = np.asarray(x, dtype=float)
-    if x.size < 2:
-        return 0.0
-    x0, x1 = x[:-1], x[1:]
-    ok = np.isfinite(x0) & np.isfinite(x1)
-    if not np.any(ok):
-        return 0.0
-    return float(np.mean(np.abs(x1[ok] - x0[ok]) >= float(delta)))
+    """|Δx| >= delta fraction among finite pairs (spec :209-216)."""
+    m = silver_flag_metrics_batch(np.asarray(x, float)[None], jump_th=delta)
+    return float(m["jump_ratio"][0])
 
 
 def range_violation_ratio_1d(x: np.ndarray, abs_th: float) -> float:
-    x = np.asarray(x, dtype=float)
-    ok = np.isfinite(x)
-    if not np.any(ok):
-        return 0.0
-    return float(np.mean(np.abs(x[ok]) >= float(abs_th)))
+    """|x| >= abs_th fraction among finite samples (spec :219-224)."""
+    m = silver_flag_metrics_batch(np.asarray(x, float)[None], abs_th=abs_th)
+    return float(m["range_violation_ratio"][0])
 
 
 def is_stuck_1d(x: np.ndarray, var_eps: float) -> bool:
-    x = np.asarray(x, dtype=float)
-    ok = np.isfinite(x)
-    if np.sum(ok) < 5:
-        return False
-    return bool(np.var(x[ok]) < float(var_eps))
+    """Flatline: finite-sample variance < eps, >= 5 finite (spec :227-232)."""
+    x = np.asarray(x, dtype=float)[None]
+    var, cnt = _masked_rowvar(x, np.isfinite(x))
+    return bool(cnt[0] >= 5 and var[0] < float(var_eps))
 
 
 def is_stuck_force_aware(u: np.ndarray, f: np.ndarray, var_eps: float,
                          force_rng_min: float) -> bool:
-    u = np.asarray(u, dtype=float)
-    f = np.asarray(f, dtype=float)
-    u_ok, f_ok = np.isfinite(u), np.isfinite(f)
-    if np.sum(u_ok) < 5 or np.sum(f_ok) < 5:
+    """Flat displacement under a swinging load (spec :235-244)."""
+    u2 = np.asarray(u, dtype=float)[None]
+    var, cnt = _masked_rowvar(u2, np.isfinite(u2))
+    fv = np.asarray(f, dtype=float)
+    fv = fv[np.isfinite(fv)]
+    if cnt[0] < 5 or fv.size < 5:
         return False
-    return bool((np.var(u[u_ok]) < float(var_eps))
-                and (np.max(f[f_ok]) - np.min(f[f_ok]) > float(force_rng_min)))
+    return bool(var[0] < float(var_eps)
+                and (fv.max() - fv.min()) > float(force_rng_min))
 
 
 def channel_inconsistency_score(U: np.ndarray, zthr: float = 4.0) -> float:
+    """Fraction of time rows where any channel's robust z-score (median/MAD
+    across channels) exceeds ``zthr`` (rule spec: Codes/feature_utils.py:247-260).
+    Rows with any non-finite channel are excluded; needs >= 5 valid rows."""
     U = np.asarray(U, dtype=float)
     if U.ndim != 2 or U.shape[0] < 2 or U.shape[1] < 2:
         return 0.0
@@ -238,26 +326,18 @@ def sensor_fault_silver_flags(
     force_rng_min: float = 0.0,
     use_plain_stuck: bool = True,
 ) -> Dict:
-    """Window-level silver-rule SF metrics/flags (feature_utils.py:302-361)."""
-    u_raw = np.asarray(u_raw, dtype=float)
-    inv_ratio = invalid_ratio_1d(u_raw)
-    jr = jump_ratio_1d(u_raw, jump_th)
-    rr = range_violation_ratio_1d(u_raw, abs_th)
-    u_for_stuck = np.asarray(u_clean, dtype=float) if u_clean is not None else u_raw
-    stuck = is_stuck_1d(u_for_stuck, var_eps)
-    stuck_fa = (is_stuck_force_aware(u_for_stuck, f, var_eps, force_rng_min)
-                if (f is not None and force_rng_min > 0.0) else False)
-    stuck_term = stuck_fa or (use_plain_stuck and stuck)
-    sf_any = ((inv_ratio >= float(invalid_ratio_th)) or (jr > 0.0) or (rr > 0.0)
-              or bool(stuck_term))
-    return {
-        "invalid_ratio": float(inv_ratio),
-        "jump_ratio": float(jr),
-        "range_violation_ratio": float(rr),
-        "stuck": int(stuck),
-        "stuck_forceaware": int(stuck_fa),
-        "sf_any": int(sf_any),
-    }
+    """Single-window silver-rule SF flags (spec: feature_utils.py:302-361);
+    thin wrapper over :func:`silver_flag_metrics_batch`."""
+    m = silver_flag_metrics_batch(
+        np.asarray(u_raw, float)[None],
+        U_clean=(np.asarray(u_clean, float)[None] if u_clean is not None else None),
+        F=(np.asarray(f, float)[None] if f is not None else None),
+        jump_th=jump_th, abs_th=abs_th, invalid_ratio_th=invalid_ratio_th,
+        var_eps=var_eps, force_rng_min=force_rng_min,
+        use_plain_stuck=use_plain_stuck)
+    out = {k: (float(v[0]) if v.dtype.kind == "f" else int(v[0]))
+           for k, v in m.items()}
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -417,6 +497,7 @@ __all__ = [
     "provider_raw_outlier_mask_and",
     "windowize_2d",
     "windowize_1d",
+    "silver_flag_metrics_batch",
     "invalid_ratio_1d",
     "jump_ratio_1d",
     "range_violation_ratio_1d",

@@ -112,6 +112,53 @@ def test_silver_flags():
     assert flags2["sf_any"] == 0
 
 
+def test_silver_flags_batch_matches_scalar():
+    """The batch rule kernel and the scalar wrappers must agree window-by-
+    window on edge-heavy inputs (NaNs, jumps, range hits, flatlines)."""
+    from shm_tpu.data.openlab import (
+        silver_flag_metrics_batch, invalid_ratio_1d, jump_ratio_1d,
+        range_violation_ratio_1d, is_stuck_1d, is_stuck_force_aware,
+    )
+
+    rng = np.random.default_rng(3)
+    T = 50
+    rows = [
+        rng.normal(0, 1, T),                          # benign
+        np.r_[np.zeros(T - 5), rng.normal(0, 1, 5)],  # near-flat
+        np.full(T, np.nan),                           # all invalid
+        np.r_[rng.normal(0, 1, T - 1), 100.0],        # range + jump hit
+        np.where(rng.random(T) < 0.3, np.nan, rng.normal(0, 70, T)),
+        np.zeros(T),                                  # exact flatline
+        np.r_[np.nan, np.nan, 1.0, 1.0],              # < 5 finite (stuck guard)
+        np.array([2.0]),                              # size-1 (no pairs)
+    ]
+    Tm = max(len(r) for r in rows)
+    F = rng.normal(0, 3, (len(rows), Tm))
+    for i, u in enumerate(rows):
+        U = np.full((1, Tm), np.nan)
+        U[0, :len(u)] = u
+        m = silver_flag_metrics_batch(U, F=F[i:i + 1], force_rng_min=1.0)
+        # scalar spec functions on the same (padded) window
+        x = U[0]
+        assert m["invalid_ratio"][0] == pytest.approx(invalid_ratio_1d(x))
+        assert m["jump_ratio"][0] == pytest.approx(jump_ratio_1d(x, 1.0))
+        assert m["range_violation_ratio"][0] == pytest.approx(
+            range_violation_ratio_1d(x, 65.0))
+        assert bool(m["stuck"][0]) == is_stuck_1d(x, 1e-6)
+        assert bool(m["stuck_forceaware"][0]) == is_stuck_force_aware(
+            x, F[i], 1e-6, 1.0)
+    # the whole stack in one call equals the per-row calls
+    U_all = np.full((len(rows), Tm), np.nan)
+    for i, u in enumerate(rows):
+        U_all[i, :len(u)] = u
+    mb = silver_flag_metrics_batch(U_all, F=F, force_rng_min=1.0)
+    for i in range(len(rows)):
+        one = silver_flag_metrics_batch(U_all[i:i + 1], F=F[i:i + 1],
+                                        force_rng_min=1.0)
+        for k in mb:
+            assert mb[k][i] == pytest.approx(one[k][0]), (k, i)
+
+
 def test_run_based_split_reproduces_reference():
     runs = [
         "MD_2025_05_06_09_08_25", "MD_2025_05_06_10_43_20", "MD_2025_05_06_12_05_10",
