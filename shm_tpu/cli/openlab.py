@@ -168,7 +168,8 @@ def cmd_featurize(paths: Paths, cfg: OpenLabConfig, include_freq: bool = True,
 # 04 train VAE / 05 validate + threshold
 # ---------------------------------------------------------------------------
 
-def cmd_train_vae(paths: Paths, cfg: OpenLabConfig, epochs: Optional[int] = None) -> None:
+def cmd_train_vae(paths: Paths, cfg: OpenLabConfig, epochs: Optional[int] = None,
+                  devices: Optional[int] = None) -> None:
     Xc, _, meta = _load_extracted(paths)
     split = load_json(paths.extracted / "run_split.json")
     train_runs = set(map(str, split["train_runs"]))
@@ -200,8 +201,12 @@ def cmd_train_vae(paths: Paths, cfg: OpenLabConfig, epochs: Optional[int] = None
     # tests/test_fused_epochs.py). A persistent compile cache would flip
     # this, but cached executables do not load on the remote platform
     # (measured — see BENCHMARKS.md).
+    from shm_tpu.cli.stage4dof import _make_mesh_opt
+    mesh = _make_mesh_opt(devices)
+    if mesh is not None:
+        print(f"[INFO] data-parallel training over {mesh.devices.size} devices")
     res = train_vae(model, Z, Z[: max(len(Z) // 10, 1)], tcfg, log_every=10,
-                    fused_epochs=False)
+                    fused_epochs=False, mesh=mesh)
     for k in ("total", "recon", "kl"):
         res.history[f"train_subset_{k}"] = res.history.pop(f"val_{k}")
     save_params({"params": res.last_params}, art / "vae_exceedance_clean.msgpack")
@@ -304,7 +309,8 @@ def _sf_st_split_data(Xr, meta, split, split_name: str):
 
 
 def cmd_train_cnn(paths: Paths, cfg: OpenLabConfig, epochs: Optional[int] = None,
-                  quality: bool = False, n_seeds: int = 3) -> None:
+                  quality: bool = False, n_seeds: int = 3,
+                  devices: Optional[int] = None) -> None:
     """Train the SF-vs-ST CNN (Codes/06_train_cnn.py recipe).
 
     ``quality=True`` (beyond-reference, flag-gated): the per-epoch VAL ST-F2
@@ -358,6 +364,10 @@ def cmd_train_cnn(paths: Paths, cfg: OpenLabConfig, epochs: Optional[int] = None
     tcfg = cfg.cnn_train if epochs is None else replace(cfg.cnn_train, epochs=epochs)
     tcfg = replace(tcfg, batch_size=128)  # 06_train_cnn.py:52
     model = CNNOpenLab(dropout=cfg.cnn.dropout)
+    from shm_tpu.cli.stage4dof import _make_mesh_opt
+    mesh = _make_mesh_opt(devices)
+    if mesh is not None:
+        print(f"[INFO] data-parallel training over {mesh.devices.size} devices")
     if quality:
         tcfg = replace(tcfg, early_stop_patience=40)
         results = []
@@ -366,7 +376,7 @@ def cmd_train_cnn(paths: Paths, cfg: OpenLabConfig, epochs: Optional[int] = None
                           replace(tcfg, seed=tcfg.seed + s), loss="focal",
                           focal_gamma=cfg.focal_gamma, class_alpha=alpha,
                           sample_weights=weights, val_metric_fn=st_f2_metric,
-                          log_every=0, fused_epoch=False)
+                          log_every=0, fused_epoch=False, mesh=mesh)
             print(f"[quality] seed {tcfg.seed + s}: ST-F2={r.best_metric:.4f} "
                   f"@ epoch {r.best_epoch} (stopped {r.stopped_epoch})")
             results.append(r)
@@ -380,7 +390,7 @@ def cmd_train_cnn(paths: Paths, cfg: OpenLabConfig, epochs: Optional[int] = None
         res = train_cnn(model, Xtr_s, ytr, Xva_s, yva, tcfg, loss="focal",
                         focal_gamma=cfg.focal_gamma, class_alpha=alpha,
                         sample_weights=weights, val_metric_fn=st_f2_metric,
-                        log_every=1)
+                        log_every=1, mesh=mesh)
 
     save_params(res.variables, art / "cnn_model_openlab.msgpack")
     probs = predict_probs(model, res.variables, Xva_s)
@@ -762,6 +772,8 @@ def main(argv=None) -> None:
                          "sklearn-1.11 replacement "
                          "(CalibratedClassifierCV(SVC(), ensemble=False)); "
                          "both serve on-device in test-hybrid")
+    ap.add_argument("--devices", type=int, default=None,
+                    help="data-parallel training over the first N local devices")
     args = ap.parse_args(argv)
 
     raw_dir = args.raw_dir or default_openlab_raw_dir()
@@ -772,11 +784,13 @@ def main(argv=None) -> None:
         "extract": lambda: cmd_extract(paths, cfg),
         "make-splits": lambda: cmd_make_splits(paths, cfg),
         "featurize": lambda: cmd_featurize(paths, cfg),
-        "train-vae": lambda: cmd_train_vae(paths, cfg, args.epochs),
+        "train-vae": lambda: cmd_train_vae(paths, cfg, args.epochs,
+                                           devices=args.devices),
         "validate-vae": lambda: cmd_validate_vae(paths, cfg),
         "train-cnn": lambda: cmd_train_cnn(paths, cfg, args.epochs,
                                            quality=args.quality,
-                                           n_seeds=args.seeds),
+                                           n_seeds=args.seeds,
+                                           devices=args.devices),
         "validate-cnn": lambda: cmd_validate_cnn(paths, cfg, args.split or "val"),
         "train-ml": lambda: cmd_train_ml(paths, cfg,
                                          args.svm_probability),

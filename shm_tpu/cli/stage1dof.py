@@ -115,7 +115,7 @@ def cmd_gen_unseen(paths: Paths, cfg: Stage1DofConfig, plot: bool = True) -> Non
 # ---------------------------------------------------------------------------
 
 def cmd_train_vae(paths: Paths, cfg: Stage1DofConfig, epochs: int | None = None,
-                  plot: bool = True) -> None:
+                  plot: bool = True, devices: int | None = None) -> None:
     df = pd.read_csv(paths.raw / "1dof_seen_variants.csv")
     data = df.drop(columns=["time"]).to_numpy().astype(np.float32)
     T = data.shape[0]
@@ -139,7 +139,12 @@ def cmd_train_vae(paths: Paths, cfg: Stage1DofConfig, epochs: int | None = None,
     # but save last_params for parity. The fused-epochs TPU default is
     # measured for THIS shape too (tools/probe_1dof_fused.py): 28s compile
     # + 14.5s/100 epochs vs 44.7s loop — fused wins even one-shot.
-    res = train_vae(model, W, W[: max(len(W) // 10, 1)], tcfg, log_every=10)
+    from shm_tpu.cli.stage4dof import _make_mesh_opt
+    mesh = _make_mesh_opt(devices)
+    if mesh is not None:
+        print(f"[INFO] data-parallel training over {mesh.devices.size} devices")
+    res = train_vae(model, W, W[: max(len(W) // 10, 1)], tcfg, log_every=10,
+                    mesh=mesh)
     save_params({"params": res.last_params}, paths.models / "temporal_vae.msgpack")
 
     hist = pd.DataFrame({
@@ -309,6 +314,8 @@ def main(argv=None) -> None:
     ap.add_argument("--root", default="data/1dof")
     ap.add_argument("--epochs", type=int, default=None)
     ap.add_argument("--no-plots", action="store_true")
+    ap.add_argument("--devices", type=int, default=None,
+                    help="data-parallel training over the first N local devices")
     args = ap.parse_args(argv)
 
     cfg = Stage1DofConfig()
@@ -318,7 +325,8 @@ def main(argv=None) -> None:
     steps = {
         "gen-seen": lambda: cmd_gen_seen(paths, cfg, plot),
         "gen-unseen": lambda: cmd_gen_unseen(paths, cfg, plot),
-        "train-vae": lambda: cmd_train_vae(paths, cfg, args.epochs, plot),
+        "train-vae": lambda: cmd_train_vae(paths, cfg, args.epochs, plot,
+                                           devices=args.devices),
         "test-seen": lambda: cmd_test_seen(paths, cfg, plot),
         "test-unseen": lambda: cmd_test_unseen(paths, cfg, plot),
         "compare-rmse": lambda: cmd_compare_rmse(paths, cfg, plot),

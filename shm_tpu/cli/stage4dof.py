@@ -228,8 +228,19 @@ def build_fraction_windows(files: List[str], frac, cfg: Stage4DofConfig) -> np.n
     return np.concatenate(out).astype(np.float32)
 
 
+def _make_mesh_opt(devices: int | None):
+    """CLI --devices N -> a 1-D data mesh over the first N local devices
+    (data-parallel training; SURVEY.md §2.4). None -> single-device."""
+    if not devices or devices <= 1:
+        return None
+    from shm_tpu.parallel import make_mesh
+
+    return make_mesh(devices)
+
+
 def cmd_train_vae(paths: Paths, cfg: Stage4DofConfig, epochs: int | None = None,
-                  seed: int | None = None, kernel: bool | None = None) -> None:
+                  seed: int | None = None, kernel: bool | None = None,
+                  devices: int | None = None) -> None:
     splits = load_json(paths.run_splits)
     normal_files = splits["normal"]["files"]
 
@@ -253,12 +264,18 @@ def cmd_train_vae(paths: Paths, cfg: Stage4DofConfig, epochs: int | None = None,
     if seed is not None:
         tcfg = replace(tcfg, seed=seed)
     vae = vae_from_config(cfg.vae)
+    mesh = _make_mesh_opt(devices)
     if kernel is None:
         # default: the custom-VJP fused LSTM training kernels on TPU backends
         # (fastest path; equivalent RNG stream, seed-stability table in
         # BENCHMARKS.md). CPU keeps the XLA path (no Mosaic compiler there).
-        kernel = jax.default_backend() in ("tpu", "axon")
-    res = train_vae(vae, Ztr, Zva, tcfg, log_every=1, use_pallas_kernel=kernel)
+        # With --devices the XLA path is required (train_vae mesh= uses GSPMD
+        # auto-partitioning, which cannot split Pallas custom calls).
+        kernel = mesh is None and jax.default_backend() in ("tpu", "axon")
+    if mesh is not None:
+        print(f"[INFO] data-parallel training over {mesh.devices.size} devices")
+    res = train_vae(vae, Ztr, Zva, tcfg, log_every=1, use_pallas_kernel=kernel,
+                    mesh=mesh)
 
     save_params({"params": res.params}, paths.models / "temporal_vae.msgpack")
     meta = {
@@ -315,7 +332,12 @@ def cmd_threshold(paths: Paths, cfg: Stage4DofConfig, sample: bool = False) -> N
 
     # ONE concatenated scoring program for all three groups: each distinct
     # batch shape costs a fresh remote compile (30s-5min through the tunnel),
-    # so per-group calls triple both the dispatch floor and the compile count
+    # so per-group calls triple both the dispatch floor and the compile count.
+    # NOTE (sample=True only): the single PRNGKey now streams noise across the
+    # concatenated stack, so per-window draws differ from the earlier
+    # per-group-call scoring under the same key — a trajectory change in the
+    # non-default stochastic mode only; the default deterministic scores and
+    # the threshold policy are unaffected.
     Wall = np.concatenate([g for g in (Wn, Ws, Wst) if g.shape[0]]) \
         if (Ws.shape[0] or Wst.shape[0]) else Wn
     Zall = normalize_windows(jnp.asarray(Wall), jnp.asarray(mean), jnp.asarray(std))
@@ -395,7 +417,7 @@ def _cnn_inputs(vae, vae_params, Z: np.ndarray, batch: int = 4096) -> np.ndarray
 
 
 def cmd_train_cnn(paths: Paths, cfg: Stage4DofConfig, epochs: int | None = None,
-                  seed: int | None = None) -> None:
+                  seed: int | None = None, devices: int | None = None) -> None:
     splits = load_json(paths.run_splits)
     mean, std = _load_stats(paths)
     vae, vae_params = _load_vae(paths, cfg)
@@ -420,7 +442,10 @@ def cmd_train_cnn(paths: Paths, cfg: Stage4DofConfig, epochs: int | None = None,
     if seed is not None:
         tcfg = replace(tcfg, seed=seed)
     cnn = CNN4DOF(dropout=cfg.cnn.dropout)
-    res = train_cnn(cnn, Xtr, ytr, Xva, yva, tcfg, log_every=1)
+    mesh = _make_mesh_opt(devices)
+    if mesh is not None:
+        print(f"[INFO] data-parallel training over {mesh.devices.size} devices")
+    res = train_cnn(cnn, Xtr, ytr, Xva, yva, tcfg, log_every=1, mesh=mesh)
 
     save_params(res.variables, paths.models / "cnn.msgpack")
     meta = {
@@ -604,6 +629,11 @@ def main(argv=None) -> None:
                          "kernels (default: auto — on for TPU backends)")
     ap.add_argument("--no-kernel", dest="kernel", action="store_false",
                     help="train-vae: force the XLA training path")
+    ap.add_argument("--devices", type=int, default=None,
+                    help="data-parallel training over the first N local "
+                         "devices (1-D mesh, batch sharded, grads psum'd; "
+                         "trajectory matches single-device to reduction-order "
+                         "tolerance)")
     args = ap.parse_args(argv)
 
     cfg = Stage4DofConfig()
@@ -616,10 +646,12 @@ def main(argv=None) -> None:
         "make-splits": lambda: cmd_make_splits(paths, cfg),
         "train-vae": lambda: cmd_train_vae(paths, cfg, args.epochs,
                                            seed=args.seed,
-                                           kernel=args.kernel),
+                                           kernel=args.kernel,
+                                           devices=args.devices),
         "threshold": lambda: cmd_threshold(paths, cfg, args.sample),
         "train-cnn": lambda: cmd_train_cnn(paths, cfg, args.epochs,
-                                           seed=args.seed),
+                                           seed=args.seed,
+                                           devices=args.devices),
         "test-pipeline": lambda: cmd_test_pipeline(paths, cfg),
     }
     if args.command == "all":

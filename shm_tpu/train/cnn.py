@@ -80,6 +80,8 @@ def train_cnn(
     checkpoint_every: int = 0,
     resume: bool = True,
     fused_epoch: Optional[bool] = None,
+    mesh=None,
+    mesh_axis: str = "data",
 ) -> CNNTrainResult:
     """Train a CNN classifier; select best epoch by val loss (default) or by
     ``val_metric_fn(probs, yva)`` (higher wins) when given.
@@ -93,9 +95,33 @@ def train_cnn(
     backends, off on CPU.
 
     ``checkpoint_dir``/``checkpoint_every`` enable full-state mid-training
-    checkpointing with exact resume (see shm_tpu.train.checkpoint)."""
+    checkpointing with exact resume (see shm_tpu.train.checkpoint).
+
+    ``mesh``: 1-D device mesh for data-parallel SPMD training (see
+    ``train_vae`` — same design: replicated state, minibatch sharded over
+    ``mesh_axis`` by a sharding constraint, XLA inserts the grad psum).
+    BatchNorm batch statistics are computed over the GLOBAL batch (the
+    sharded reduction is partitioned by XLA), so the trajectory matches
+    single-device exactly up to float reduction order — stricter than
+    per-device stats + pmean. Pinned by tests/test_parallel.py."""
     Xtr, ytr = jnp.asarray(Xtr), jnp.asarray(ytr, jnp.int32)
     Xva, yva_j = jnp.asarray(Xva), jnp.asarray(yva, jnp.int32)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as _P
+
+        _dp = NamedSharding(mesh, _P(mesh_axis))
+        _rep = NamedSharding(mesh, _P())
+
+        def dp_constrain(x):
+            return jax.lax.with_sharding_constraint(x, _dp)
+
+        Xtr = jax.device_put(Xtr, _rep)
+        ytr = jax.device_put(ytr, _rep)
+        Xva = jax.device_put(Xva, _rep)
+        yva_j = jax.device_put(yva_j, _rep)
+    else:
+        def dp_constrain(x):
+            return x
     N = Xtr.shape[0]
     bs = min(cfg.batch_size, N)
     nb, pad = _batch_plan(N, bs)
@@ -117,6 +143,10 @@ def train_cnn(
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     opt_state = tx.init(params)
+    if mesh is not None:
+        params = jax.device_put(params, _rep)
+        batch_stats = jax.device_put(batch_stats, _rep)
+        opt_state = jax.device_put(opt_state, _rep)
     use_focal = loss == "focal"
 
     # window stacks are explicit arguments (jit closure constants re-stage per
@@ -144,7 +174,7 @@ def train_cnn(
 
     @jax.jit
     def batch_step(params, batch_stats, opt_state, Xtr, ytr, bidx, bmask, bk):
-        xb, yb = Xtr[bidx], ytr[bidx]
+        xb, yb = dp_constrain(Xtr[bidx]), dp_constrain(ytr[bidx])
 
         def loss_fn(pp):
             out, mut = model.apply(
@@ -205,7 +235,7 @@ def train_cnn(
 
         def body(_, inp):
             bidx, bmask = inp
-            xb, yb = Xva[bidx], yva_j[bidx]
+            xb, yb = dp_constrain(Xva[bidx]), dp_constrain(yva_j[bidx])
             out = model.apply({"params": params, "batch_stats": batch_stats},
                               xb, train=False)
             if use_focal:

@@ -98,9 +98,12 @@ def train_vae(
     checkpoint_every: int = 0,
     resume: bool = True,
     fused_epochs: Optional[bool] = None,
+    epoch_chunk: Optional[int] = None,
     use_pallas_kernel: bool = False,
     kernel_dtype=jnp.bfloat16,
     kernel_interpret: bool = False,
+    mesh=None,
+    mesh_axis: str = "data",
 ) -> VAETrainResult:
     """Train a TemporalVAE on normalized windows; returns best-val params + history.
 
@@ -111,13 +114,56 @@ def train_vae(
     tests/test_fused_epochs.py). Default (None): on for TPU backends unless
     mid-training checkpointing is requested, off on CPU.
 
+    ``epoch_chunk`` (with ``fused_epochs``): compile a K-epoch program and
+    dispatch it ceil(E/K) times instead of one whole-run program — the middle
+    ground when the whole-run compile is expensive on the remote platform
+    (the openLAB preset: ~155-200 s whole-run compile vs seconds-level for a
+    chunk; measured in tools/probe_epoch_chunks.py). The carry (params, opt
+    state, on-device best-val selection) stays device-resident between
+    dispatches, so the trajectory is bit-identical to the whole-run program
+    and the loop. If K does not divide E the remainder chunk costs a second
+    compile — prefer K | E.
+
     ``Ztr``/``Zva``: (N, T, D) normalized window stacks (already on device or host).
 
     With ``checkpoint_dir`` + ``checkpoint_every=k``, the FULL training state
     (params, optimizer moments, best-val selection, PRNG key, history) persists
     every k epochs and an interrupted run resumes exactly (a capability the
     reference lacks — SURVEY.md §5 checkpoint/resume).
+
+    ``mesh``: a 1-D ``jax.sharding.Mesh`` (see ``shm_tpu.parallel.make_mesh``)
+    turns every execution structure above — per-batch loop, fused whole-run
+    scan, checkpointed/resumed runs — into data-parallel SPMD: params/window
+    stacks are replicated, each minibatch is sharded over ``mesh_axis`` via a
+    sharding constraint, and XLA partitions the forward/backward with a psum
+    over ICI for the gradient reduction. The program is the SAME math as
+    single-device (one global batch per step, global-batch loss mean, one
+    RNG stream) so trajectories match the single-device run exactly up to
+    float reduction order (pinned by tests/test_parallel.py). The reference
+    has no distributed training at all (SURVEY.md §2.4; single-device loop at
+    4DOF/Scripts/03_train_vae.py:254-278). Incompatible with
+    ``use_pallas_kernel`` (custom calls are not auto-partitionable).
     """
+    if mesh is not None and use_pallas_kernel:
+        raise ValueError(
+            "mesh= data-parallel training uses XLA auto-partitioning, which "
+            "cannot split the Pallas training kernels (custom calls); pass "
+            "use_pallas_kernel=False with mesh=, or train single-device")
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as _P
+
+        _dp = NamedSharding(mesh, _P(mesh_axis))
+        _rep = NamedSharding(mesh, _P())
+
+        def dp_constrain(x):
+            return jax.lax.with_sharding_constraint(x, _dp)
+
+        Ztr = jax.device_put(jnp.asarray(Ztr), _rep)
+        Zva = jax.device_put(jnp.asarray(Zva), _rep)
+    else:
+        def dp_constrain(x):
+            return x
+
     Ztr = jnp.asarray(Ztr)
     Zva = jnp.asarray(Zva)
     N, T, D = Ztr.shape
@@ -139,6 +185,10 @@ def train_vae(
         )["params"]
     params = init_params
     opt_state = tx.init(params)
+    if mesh is not None:
+        # replicate the training state on every device of the mesh
+        params = jax.device_put(params, _rep)
+        opt_state = jax.device_put(opt_state, _rep)
 
     # --- the per-batch loss+grads, shared by the loop and fused paths ---
     # use_pallas_kernel swaps the forward/backward onto the custom-VJP fused
@@ -174,6 +224,10 @@ def train_vae(
             return jax.value_and_grad(loss_fn, has_aux=True)(p)
     else:
         def batch_loss_grads(p, xb, bmask, bk, kl_w):
+            # under mesh= the minibatch is sharded over the data axis here;
+            # everything downstream (forward, backward, loss mean) partitions
+            # into per-device compute + one grad psum, courtesy of GSPMD
+            xb = dp_constrain(xb)
             k_rep, k_drop = jax.random.split(bk)
 
             def loss_fn(pp):
@@ -226,7 +280,7 @@ def train_vae(
 
         def body(_, inp):
             bidx, bmask, bk = inp
-            xb = Zva[bidx]
+            xb = dp_constrain(Zva[bidx])
             rngs = {"reparam": bk} if val_sample else {}
             recon, mu, logvar = model.apply(
                 {"params": params}, xb, sample=val_sample, deterministic=True,
@@ -263,36 +317,48 @@ def train_vae(
             kl_anneal_sigmoid(e, E, cfg.kl_warmup_ratio) for e in range(1, E + 1)
         ], jnp.float32)
         keys = epoch_keys
+        e_idx_all = jnp.arange(1, E + 1, dtype=jnp.int32)
+        chunk = min(epoch_chunk or E, E)
+        if chunk < 1:
+            raise ValueError(f"epoch_chunk must be >= 1, got {epoch_chunk}")
 
         @jax.jit
-        def run_all(params, opt_state, Ztr, Zva, kl_ws, keys):
+        def run_chunk(carry, Ztr, Zva, kl_ws, keys, e_idx):
+            """Scan over a block of epochs; one compiled program per distinct
+            chunk LENGTH (epoch_chunk=None -> one whole-run program)."""
             def epoch_body(carry, inp):
                 p, s, best_val, best_p, best_e = carry
-                kl_w, ks, e_idx = inp
+                kl_w, ks, e_i = inp
                 p, s, tl, rl, kl = train_epoch_core(p, s, Ztr, ks[0], kl_w)
                 vl, vr, vkl = val_epoch_core(p, Zva, ks[1], kl_w)
                 improved = vl < best_val
                 best_val = jnp.where(improved, vl, best_val)
-                best_e = jnp.where(improved, e_idx, best_e)
+                best_e = jnp.where(improved, e_i, best_e)
                 best_p = jax.tree.map(
                     lambda b, q: jnp.where(improved, q, b), best_p, p)
                 return (p, s, best_val, best_p, best_e), (tl, rl, kl, vl, vr, vkl)
 
-            init = (params, opt_state, jnp.float32(jnp.inf), params, jnp.int32(-1))
-            carry, stats = jax.lax.scan(
-                epoch_body, init,
-                (kl_ws, keys, jnp.arange(1, E + 1, dtype=jnp.int32)))
-            return carry, stats
+            return jax.lax.scan(epoch_body, carry, (kl_ws, keys, e_idx))
 
         t0 = time.perf_counter()
-        (params, opt_state, best_val_d, best_params, best_epoch_d), stats = run_all(
-            params, opt_state, Ztr, Zva, kl_ws, keys)
-        stats_h = jax.device_get(stats)
+        carry = (params, opt_state, jnp.float32(jnp.inf), params, jnp.int32(-1))
+        stats_chunks = []
+        # the carry never leaves the device between chunk dispatches, so the
+        # chunked run's trajectory is bit-identical to the whole-run program
+        for c0 in range(0, E, chunk):
+            c1 = min(c0 + chunk, E)
+            carry, stats_c = run_chunk(carry, Ztr, Zva, kl_ws[c0:c1],
+                                       keys[c0:c1], e_idx_all[c0:c1])
+            stats_chunks.append(stats_c)
+        params, opt_state, best_val_d, best_params, best_epoch_d = carry
+        stats_h = jax.device_get(stats_chunks)
         best_val = float(jax.device_get(best_val_d))
         best_epoch = int(jax.device_get(best_epoch_d))
         seconds = time.perf_counter() - t0
 
-        tl, rl, kl, vl, vr, vkl = [np.asarray(s, np.float64) for s in stats_h]
+        tl, rl, kl, vl, vr, vkl = [
+            np.concatenate([np.asarray(c[i], np.float64) for c in stats_h])
+            for i in range(6)]
         hist = {
             "epoch": list(range(1, E + 1)),
             "kl_w": [float(x) for x in np.asarray(kl_ws)],

@@ -31,6 +31,34 @@ def test_fused_epochs_matches_loop():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
 
 
+def test_epoch_chunks_bit_identical_to_whole_run():
+    """epoch_chunk=K (one K-epoch program dispatched E/K times, device-resident
+    carry) must be BIT-identical to the whole-run program — including a ragged
+    final chunk and the on-device best-val selection."""
+    rng = np.random.default_rng(2)
+    t = np.linspace(0, 8 * np.pi, 400)
+    X = np.stack([np.sin(t + p) for p in rng.uniform(0, 2 * np.pi, 4)], axis=1)
+    from shm_tpu.data import make_windows
+    W = np.asarray(make_windows(jnp.asarray(X.astype(np.float32)), 30, 2))
+
+    model = vae_from_config(VAEConfig(4, 3, 16, 1, 0.0))
+    cfg = TrainConfig(epochs=5, batch_size=32, lr=1e-3, weight_decay=1e-5,
+                      grad_clip=2.0, seed=0)
+    whole = train_vae(model, W, W[:32], cfg, fused_epochs=True)
+    for k in (1, 2, 5):          # 2 -> ragged final chunk (5 = 2+2+1)
+        chunked = train_vae(model, W, W[:32], cfg, fused_epochs=True,
+                            epoch_chunk=k)
+        np.testing.assert_array_equal(whole.history["train_total"],
+                                      chunked.history["train_total"])
+        np.testing.assert_array_equal(whole.history["val_total"],
+                                      chunked.history["val_total"])
+        assert chunked.best_epoch == whole.best_epoch
+        assert chunked.best_val == whole.best_val
+        for a, b in zip(jax.tree.leaves(whole.params),
+                        jax.tree.leaves(chunked.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_fused_epochs_matches_loop_pallas_kernel():
     """The Pallas training-kernel path must be bit-identical between the
     per-batch loop and the fused whole-run program (same RNG derivation)."""

@@ -58,6 +58,92 @@ def test_replicate_places_on_all_devices(setup):
     assert len(leaf.sharding.device_set) == 8
 
 
+class TestMeshTraining:
+    """train_vae/train_cnn with mesh=: the user-reachable DP training path.
+
+    The mesh run executes the SAME program as single-device (global batches,
+    one RNG stream) with the minibatch sharded over 8 virtual devices —
+    trajectories must agree to float-reduction-order tolerance, for BOTH
+    execution structures (per-batch loop and fused whole-run scan)."""
+
+    def _vae_data(self):
+        from shm_tpu.config import VAEConfig
+
+        vae = vae_from_config(VAEConfig(4, 3, 8, 2, 0.2, use_layernorm=True))
+        key = jax.random.PRNGKey(42)
+        Ztr = jax.random.normal(key, (48, 16, 4))
+        Zva = jax.random.normal(jax.random.fold_in(key, 1), (24, 16, 4))
+        return vae, np.asarray(Ztr), np.asarray(Zva)
+
+    @pytest.mark.parametrize("fused", [False, True])
+    def test_train_vae_mesh_matches_single_device(self, fused):
+        from shm_tpu.config import TrainConfig
+        from shm_tpu.train.vae import train_vae
+
+        vae, Ztr, Zva = self._vae_data()
+        cfg = TrainConfig(epochs=3, batch_size=16, lr=1e-3, weight_decay=1e-5,
+                          grad_clip=2.0, seed=0)
+        ref = train_vae(vae, Ztr, Zva, cfg, fused_epochs=fused)
+        got = train_vae(vae, Ztr, Zva, cfg, fused_epochs=fused,
+                        mesh=make_mesh(8))
+        np.testing.assert_allclose(got.history["train_total"],
+                                   ref.history["train_total"], rtol=1e-5)
+        np.testing.assert_allclose(got.history["val_total"],
+                                   ref.history["val_total"], rtol=1e-5)
+        assert got.best_epoch == ref.best_epoch
+        for a, b in zip(jax.tree.leaves(got.params), jax.tree.leaves(ref.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    def test_train_vae_mesh_rejects_pallas_kernel(self):
+        from shm_tpu.config import TrainConfig
+        from shm_tpu.train.vae import train_vae
+
+        vae, Ztr, Zva = self._vae_data()
+        with pytest.raises(ValueError, match="mesh"):
+            train_vae(vae, Ztr, Zva, TrainConfig(epochs=1, batch_size=16),
+                      mesh=make_mesh(8), use_pallas_kernel=True)
+
+    @pytest.mark.parametrize("fused", [False, True])
+    def test_train_cnn_mesh_matches_single_device(self, fused):
+        from shm_tpu.config import TrainConfig
+        from shm_tpu.train.cnn import train_cnn
+
+        cnn = CNN4DOF(dropout=0.5)
+        rng = np.random.default_rng(0)
+        X = rng.normal(size=(48, 100, 12, 2)).astype(np.float32) * 0.3
+        y = rng.integers(0, 2, 48).astype(np.int32)
+        X[y == 1, :, :, 1] += 1.5
+        Xva = X[:16].copy()
+        yva = y[:16].copy()
+        cfg = TrainConfig(epochs=2, batch_size=16, lr=1e-3, weight_decay=5e-5,
+                          grad_clip=0.0, seed=1)
+        # single-step agreement is tight (one global batch, one update):
+        # only float reduction order differs
+        one = TrainConfig(epochs=1, batch_size=48, lr=1e-3, weight_decay=5e-5,
+                          grad_clip=0.0, seed=1)
+        r1 = train_cnn(cnn, X, y, Xva, yva, one, fused_epoch=fused)
+        g1 = train_cnn(cnn, X, y, Xva, yva, one, fused_epoch=fused,
+                       mesh=make_mesh(8))
+        np.testing.assert_allclose(g1.history["train_loss"],
+                                   r1.history["train_loss"], rtol=1e-5)
+        # BatchNorm running stats after one step: computed over the GLOBAL
+        # sharded batch, so they match single-device tightly
+        for a, b in zip(jax.tree.leaves(g1.variables["batch_stats"]),
+                        jax.tree.leaves(r1.variables["batch_stats"])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-6)
+        # multi-epoch trajectories: reduction-order noise crosses ReLU/
+        # maxpool/BatchNorm decision boundaries and compounds per step —
+        # documented tolerance, same convergence
+        ref = train_cnn(cnn, X, y, Xva, yva, cfg, fused_epoch=fused)
+        got = train_cnn(cnn, X, y, Xva, yva, cfg, fused_epoch=fused,
+                        mesh=make_mesh(8))
+        np.testing.assert_allclose(got.history["train_loss"],
+                                   ref.history["train_loss"], rtol=1e-2)
+        np.testing.assert_allclose(got.history["val_loss"],
+                                   ref.history["val_loss"], rtol=1e-2)
+
+
 def test_dp_cnn_train_step_runs_and_improves():
     from shm_tpu.config import TrainConfig
     from shm_tpu.parallel import make_dp_cnn_train_step, make_mesh, replicate, shard_batch
