@@ -176,6 +176,102 @@ def cnn_from_config(cfg: CNNConfig, dtype: Any = jnp.float32) -> nn.Module:
     raise ValueError(f"unknown CNN variant {cfg.variant!r}")
 
 
+def cnn4dof_apply_transposed(
+    variables,
+    Zt: jax.Array,            # [T, Dp, Np] normalized windows, batch in lanes
+    Rt: jax.Array,            # [T, Dp, Np] squared VAE residual, same layout
+    *,
+    d_real: int = 12,
+    dtype: Any = jnp.bfloat16,
+) -> jax.Array:
+    """CNN4DOF inference in the fused VAE kernel's BATCH-IN-LANES layout.
+
+    Consumes the kernel's native ``[T, Dp, Np]`` tiles (``fused_vae_gate(...,
+    residual_layout="transposed")``) directly — the hybrid pipeline then has
+    ZERO layout transposes of any (N, T, D)-sized tensor: no residual
+    transpose, no ``stack([Z, resid])`` materialization, and every conv /
+    norm / pool / dense runs with the batch in the lane (minor) dimension.
+    Same param tree and identical math to ``CNN4DOF.apply(train=False)`` with
+    ``conv_impl="im2col"`` (the convs are the same shifted-slice matmuls with
+    operands reassociated; pinned vs the NHWC path in tests/test_ops.py).
+
+    MEASURED NEGATIVE (round 3, tools/probe_attr_fusion.py, v5e, trained
+    artifacts): -37% end-to-end / -60% device-side vs the NHWC fused hybrid —
+    the [cout, k*k*cin] x [k*k*cin, spatial*batch] matmuls have cout <= 32 in
+    the M dimension and underfill the MXU far more than the saved layout
+    passes were worth (~5%). Kept as the documented dead end for VERDICT r2
+    item 3; production scoring stays on the NHWC path.
+
+    Returns f32 logits ``[Np, num_classes]`` (caller slices to the real N).
+    Reference topology being computed: 4DOF/Scripts/Models/cnn_model.py:8-52.
+    """
+    p = variables["params"]
+    bst = variables["batch_stats"]
+    T = Zt.shape[0]
+
+    def bn(x, name):
+        m = bst[name]["mean"].astype(jnp.float32)
+        v = bst[name]["var"].astype(jnp.float32)
+        s = p[name]["scale"].astype(jnp.float32)
+        b = p[name]["bias"].astype(jnp.float32)
+        scale = (s * jax.lax.rsqrt(v + 1e-5))[:, None, None, None]
+        shift = (b - m * s * jax.lax.rsqrt(v + 1e-5))[:, None, None, None]
+        return (x.astype(jnp.float32) * scale + shift).astype(dtype)
+
+    def conv_t(x_list, kernel, bias, t, d):
+        """(i,j)-shifted-slice conv on [cin, t, d, Np] blocks (or a list of
+        single-channel [t, d, Np] blocks), channels-in-sublanes output."""
+        kt, kw, cin, cout = kernel.shape
+        if isinstance(x_list, list):                 # first layer: cin tensors
+            xp = [jnp.pad(c[None], ((0, 0), (kt // 2, kt // 2),
+                                    (kw // 2, kw // 2), (0, 0)))
+                  for c in x_list]
+            xp = jnp.concatenate(xp, axis=0)          # [cin, t+2, d+2, Np]
+        else:
+            xp = jnp.pad(x_list, ((0, 0), (kt // 2, kt // 2),
+                                  (kw // 2, kw // 2), (0, 0)))
+        # patches stacked (i, j)-major, cin-minor == kernel.reshape order
+        cols = [xp[:, i:i + t, j:j + d]
+                for i in range(kt) for j in range(kw)]
+        patches = jnp.stack(cols, axis=0).reshape(kt * kw * cin, -1)
+        w = kernel.reshape(kt * kw * cin, cout).astype(dtype)
+        out = jax.lax.dot_general(
+            w.T, patches.astype(dtype),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=dtype)
+        Np = xp.shape[-1]
+        return out.reshape(cout, t, d, Np) + bias.astype(dtype)[:, None, None, None]
+
+    def pool22(x):
+        c, t, d, Np = x.shape
+        return x.reshape(c, t // 2, 2, d // 2, 2, Np).max(axis=(2, 4))
+
+    # block 1: conv(2->16) on the two single-channel [T, d_real, Np] planes
+    x = conv_t([Zt[:, :d_real].astype(dtype), Rt[:, :d_real].astype(dtype)],
+               p["conv1"]["kernel"], p["conv1"]["bias"], T, d_real)
+    x = pool22(nn.relu(bn(x, "bn1")))                 # [16, T/2, d/2, Np]
+    # block 2
+    x = conv_t(x, p["conv2"]["kernel"], p["conv2"]["bias"],
+               x.shape[1], x.shape[2])
+    x = pool22(nn.relu(bn(x, "bn2")))                 # [32, T/4, d/4, Np]
+
+    # flatten: NHWC flatten order is (t, d, c); our layout is (c, t, d) —
+    # permute the FC weight once (param-sized, free at trace time)
+    c, t, d, Np = x.shape
+    wf = p["fc1"]["kernel"].reshape(t, d, c, -1).transpose(2, 0, 1, 3) \
+        .reshape(c * t * d, -1).astype(dtype)
+    h = jax.lax.dot_general(wf.T, x.reshape(c * t * d, Np),
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=dtype)
+    h = nn.relu(h + p["fc1"]["bias"].astype(dtype)[:, None])
+    w2 = p["fc2"]["kernel"].astype(dtype)             # [128, ncls]
+    logits = jax.lax.dot_general(w2.T, h,
+                                 dimension_numbers=(((1,), (0,)), ((), ())),
+                                 preferred_element_type=dtype)
+    logits = logits + p["fc2"]["bias"].astype(dtype)[:, None]
+    return logits.T.astype(jnp.float32)               # [Np, ncls]
+
+
 def stack_vae_residual_nhwc(Z: jax.Array, recon: jax.Array) -> jax.Array:
     """Build the 2-channel CNN input [Z, (Z-Z_hat)^2] as NHWC (B, T, D, 2).
 
@@ -186,4 +282,5 @@ def stack_vae_residual_nhwc(Z: jax.Array, recon: jax.Array) -> jax.Array:
     return jnp.stack([Z, resid], axis=-1)
 
 
-__all__ = ["CNN4DOF", "CNNOpenLab", "cnn_from_config", "stack_vae_residual_nhwc"]
+__all__ = ["CNN4DOF", "CNNOpenLab", "cnn_from_config", "stack_vae_residual_nhwc",
+           "cnn4dof_apply_transposed"]

@@ -262,7 +262,7 @@ def _kernel(
     jax.jit,
     static_argnames=("num_layers", "use_layernorm", "batch_tile", "dtype",
                      "io_dtype", "with_residual", "interpret", "emulate",
-                     "skew", "sigmoid_impl"),
+                     "skew", "sigmoid_impl", "residual_layout"),
 )
 def fused_vae_gate(
     params: Dict,
@@ -278,6 +278,7 @@ def fused_vae_gate(
     emulate: bool = False,
     skew: bool = True,
     sigmoid_impl: str = "tanh",
+    residual_layout: str = "nhwc",
 ) -> Tuple[jax.Array, jax.Array | None]:
     """Fused deterministic VAE pass: returns (mse [N], residual [N, T, D] | None).
 
@@ -293,6 +294,12 @@ def fused_vae_gate(
       independent matmul groups the MXU/VPU can overlap instead of the
       stacked form's serial mm->act->mm->act chain. Pure reordering of the
       identical math (pinned bit-exact vs skew=False in tests/test_ops.py).
+    - ``residual_layout``: "nhwc" (default) returns the residual as
+      ``[N, T, D]``; "transposed" returns the kernel's native
+      ``[T, Dp, Np]`` tile (Dp = D padded to 16 with exact-zero rows,
+      Np = N padded to the batch tile) so a batch-in-lanes consumer (the
+      transposed-layout CNN in ``shm_tpu.pipeline``) can read it without
+      any layout transpose of the big tensor.
     """
     if num_layers not in (1, 2):
         raise NotImplementedError("fused kernel supports 1- or 2-layer presets")
@@ -364,9 +371,14 @@ def fused_vae_gate(
         interpret=interpret,
     )(Zt, *weights)
 
+    if residual_layout not in ("nhwc", "transposed"):
+        raise ValueError(f"unknown residual_layout {residual_layout!r}")
     if with_residual:
         resid_t, mse = outs
-        resid = jnp.transpose(resid_t[:, :D], (2, 0, 1))[:N]
+        if residual_layout == "transposed":
+            resid = resid_t                                 # [T, Dp, Np]
+        else:
+            resid = jnp.transpose(resid_t[:, :D], (2, 0, 1))[:N]
     else:
         (mse,) = outs
         resid = None

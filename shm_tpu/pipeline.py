@@ -44,7 +44,8 @@ class HybridOutputs(NamedTuple):
 
 def make_hybrid_fn(vae_model, cnn_model, *, sample: bool = False,
                    use_fused_vae: bool = False, fused_dtype=None,
-                   fused_interpret: bool = False):
+                   fused_interpret: bool = False, fused_layout: str = "nhwc",
+                   fused_batch_tile: int = 256):
     """Build the jitted fused gate->attribute function.
 
     Returns ``fn(vae_params, cnn_variables, W, mean, std, threshold, key=None)``
@@ -54,15 +55,56 @@ def make_hybrid_fn(vae_model, cnn_model, *, sample: bool = False,
 
     ``use_fused_vae=True`` routes the deterministic VAE pass through the Pallas
     kernel (shm_tpu.ops.fused_vae) — one VMEM-resident pass producing (mse,
-    residual) directly; only valid with ``sample=False`` and 2-layer presets.
+    residual) directly; only valid with ``sample=False`` and 1- or 2-layer
+    presets (``fused_vae_gate`` supports both; HybridScorer auto-selects it
+    for ``num_layers in (1, 2)``).
+
+    ``fused_layout="transposed"`` (with ``use_fused_vae=True``, CNN4DOF-shaped
+    models only) keeps the VAE residual in the kernel's native batch-in-lanes
+    ``[T, Dp, Np]`` tile and runs the attribution CNN in that layout
+    (:func:`shm_tpu.models.cnn.cnn4dof_apply_transposed`) — eliminating the
+    residual transpose and the ``stack([Z, resid])`` materialization of the
+    reference hot path (06_test_full_pipeline.py:339-371). Identical outputs
+    (tests/test_ops.py), but MEASURED NEGATIVE on v5e: 100k vs 159k win/s
+    end-to-end, 140k vs 353k device-side (tools/probe_attr_fusion.py,
+    round 3, trained artifacts, same-process A/B) — the batch-in-lanes conv
+    matmuls ([cout<=32, k*k*cin] x [k*k*cin, spatial*batch]) underfill the
+    MXU far more than the layout passes they save. Kept as the documented
+    negative result; do NOT enable for production scoring.
     """
     if use_fused_vae and sample:
         raise ValueError("fused VAE kernel is deterministic (sample=False only)")
+    if fused_layout not in ("nhwc", "transposed"):
+        raise ValueError(f"unknown fused_layout {fused_layout!r}")
+    if fused_layout == "transposed" and not use_fused_vae:
+        raise ValueError("fused_layout='transposed' requires use_fused_vae=True")
 
     @partial(jax.jit, static_argnames=())
     def hybrid(vae_params, cnn_variables, W, mean, std, threshold, key=None):
         Z = normalize_windows(W, mean, std)
-        if use_fused_vae:
+        if use_fused_vae and fused_layout == "transposed":
+            from shm_tpu.models.cnn import cnn4dof_apply_transposed
+            from shm_tpu.ops import fused_vae_gate
+
+            N, T, D = Z.shape
+            mse, resid_t = fused_vae_gate(
+                vae_params, Z,
+                num_layers=vae_model.num_layers,
+                use_layernorm=vae_model.use_layernorm,
+                dtype=fused_dtype or vae_model.dtype,
+                interpret=fused_interpret,
+                batch_tile=fused_batch_tile,
+                residual_layout="transposed",
+            )
+            # Zt built EXACTLY like the kernel's internal input transpose —
+            # inlined into the same jit program, XLA CSEs the two
+            Dp, Np = resid_t.shape[1], resid_t.shape[2]
+            Zp = jnp.pad(Z, ((0, Np - N), (0, 0), (0, Dp - D)))
+            Zt = jnp.transpose(Zp, (1, 2, 0)).astype(resid_t.dtype)
+            logits = cnn4dof_apply_transposed(
+                cnn_variables, Zt, resid_t, d_real=D,
+                dtype=fused_dtype or jnp.bfloat16)[:N]
+        elif use_fused_vae:
             from shm_tpu.ops import fused_vae_gate
 
             mse, resid = fused_vae_gate(
@@ -83,7 +125,8 @@ def make_hybrid_fn(vae_model, cnn_model, *, sample: bool = False,
             xin = stack_vae_residual_nhwc(Z, recon)    # (N, T, D, 2)
 
         anom = mse > threshold                     # strict >, :350
-        logits = cnn_model.apply(cnn_variables, xin, train=False)
+        if not (use_fused_vae and fused_layout == "transposed"):
+            logits = cnn_model.apply(cnn_variables, xin, train=False)
         cls01 = jnp.argmax(logits, axis=1).astype(jnp.int32)
         probs = jax.nn.softmax(logits, axis=1)
 

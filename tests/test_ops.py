@@ -82,6 +82,41 @@ def test_fused_vae_no_layernorm():
     np.testing.assert_allclose(np.asarray(mse), mse_ref, atol=2e-6)
 
 
+def test_hybrid_transposed_layout_matches_nhwc(setup):
+    """fused_layout='transposed' (batch-in-lanes CNN, no residual transpose /
+    stack materialization) must produce the same hybrid outputs as the NHWC
+    fused path (VERDICT r2 item 3 — the last kernel lever)."""
+    from shm_tpu.models import CNN4DOF
+    from shm_tpu.pipeline import make_hybrid_fn
+
+    model, params, Z = setup
+    W = Z[:64]
+    cnn = CNN4DOF(dropout=0.0)
+    cv = cnn.init({"params": jax.random.PRNGKey(9)},
+                  jnp.zeros((2, 100, 12, 2)))
+    mean, std = jnp.zeros(12), jnp.ones(12)
+    thr = jnp.float32(0.9)
+    kw = dict(use_fused_vae=True, fused_dtype=jnp.float32,
+              fused_interpret=True, fused_batch_tile=32)
+    ref = make_hybrid_fn(model, cnn, **kw)(params, cv, W, mean, std, thr)
+    got = make_hybrid_fn(model, cnn, fused_layout="transposed", **kw)(
+        params, cv, W, mean, std, thr)
+    np.testing.assert_allclose(np.asarray(got.mse), np.asarray(ref.mse),
+                               atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(got.anomalous),
+                                  np.asarray(ref.anomalous))
+    np.testing.assert_array_equal(np.asarray(got.y_pred),
+                                  np.asarray(ref.y_pred))
+    np.testing.assert_allclose(np.asarray(got.logits), np.asarray(ref.logits),
+                               atol=1e-4)
+
+    with pytest.raises(ValueError, match="fused_layout"):
+        make_hybrid_fn(model, cnn, fused_layout="nchw")
+    with pytest.raises(ValueError, match="transposed"):
+        make_hybrid_fn(model, cnn, fused_layout="transposed",
+                       use_fused_vae=False)
+
+
 def test_fused_vae_sigmoid_impl_equivalence(setup):
     """The tanh-form sigmoid (default — Mosaic lowers logistic as exp+divide,
     +13% device throughput on the transcendental-bound kernel) agrees with the
