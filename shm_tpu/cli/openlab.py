@@ -193,20 +193,20 @@ def cmd_train_vae(paths: Paths, cfg: OpenLabConfig, epochs: Optional[int] = None
     # parity preserved by saving last_params. The monitored slice is the first
     # 10% of the TRAINING set itself (curves only, NOT held out), so its
     # history keys are renamed train_subset_* to prevent best-val misreading.
-    # fused_epochs=False: for THIS workload (T=200, 1-layer H=64) the fused
-    # whole-run program costs ~155-200s of remote compile (re-measured round
-    # 2, tools/probe_openlab_fused.py; executes 100 epochs in 8.9s vs 33.6s
-    # once compiled) vs ~72s for the whole one-shot 100-epoch loop run —
-    # same trajectory either way (bit-identity pinned in
-    # tests/test_fused_epochs.py). A persistent compile cache would flip
-    # this, but cached executables do not load on the remote platform
-    # (measured — see BENCHMARKS.md).
+    # epoch_chunk=10: the chunked middle ground measured in round 3
+    # (tools/probe_epoch_chunks.py, openLAB shapes, same process): per-batch
+    # loop 83.5s, K=10 chunks 10.1s, whole-run 9.0s — all bit-identical.
+    # Round 2 pinned fused_epochs=False because the WHOLE-RUN compile cost
+    # 155-200s on a slow remote-compiler day; a K=10 program is ~1/10th the
+    # size, so chunking keeps the fused execution win while bounding the
+    # slow-day compile exposure (fast-day whole-run compile is seconds —
+    # the server's variance is documented in BENCHMARKS.md).
     from shm_tpu.cli.stage4dof import _make_mesh_opt
     mesh = _make_mesh_opt(devices)
     if mesh is not None:
         print(f"[INFO] data-parallel training over {mesh.devices.size} devices")
     res = train_vae(model, Z, Z[: max(len(Z) // 10, 1)], tcfg, log_every=10,
-                    fused_epochs=False, mesh=mesh)
+                    fused_epochs=True, epoch_chunk=10, mesh=mesh)
     for k in ("total", "recon", "kl"):
         res.history[f"train_subset_{k}"] = res.history.pop(f"val_{k}")
     save_params({"params": res.last_params}, art / "vae_exceedance_clean.msgpack")
