@@ -1,0 +1,259 @@
+"""HTTP scoring service around :class:`shm_tpu.serve.HybridScorer`.
+
+The reference has no serving story at all (every evaluation script reloads
+artifacts and loops on the host — 4DOF/Scripts/06_test_full_pipeline.py:276-314);
+``HybridScorer`` is the load-once, bucket-batched scorer, and this module is
+the deployment wrapper: a dependency-free stdlib HTTP daemon that warms every
+compile bucket BEFORE accepting traffic and then serves scoring requests.
+
+Endpoints:
+
+- ``GET /healthz`` — liveness + readiness: 200 once warmup finished.
+- ``GET /info`` — scorer configuration (buckets, seq_len, threshold, mesh).
+- ``POST /score`` — an (N, T, D) float32 window stack; returns per-window
+  gate MSE, anomaly decision, 3-class prediction, p(structural).
+
+  Request bodies, by Content-Type:
+  - ``application/octet-stream``: raw little-endian float32 with an
+    ``X-Shape: N,T,D`` header (zero-copy; the production path), response is
+    JSON by default or raw npz with ``Accept: application/octet-stream``.
+  - ``application/json``: ``{"windows": [[[...]]]}`` nested lists
+    (convenient, slower), response JSON.
+
+The handler is intentionally single-threaded: the TPU executes one program at
+a time anyway, so queueing requests in the listener (the OS accept backlog)
+is the correct production behavior — no lock contention, no interleaved
+device programs, deterministic per-request latency. Run one process per chip.
+
+Example::
+
+    python -m shm_tpu.serve_http --root data/4dof --port 8787 &
+    curl -s -X POST localhost:8787/score \
+         -H 'Content-Type: application/octet-stream' -H 'X-Shape: 64,100,12' \
+         --data-binary @windows.f32 | jq .y_pred
+
+Tested end-to-end (real socket, both encodings, malformed inputs) in
+tests/test_serve_http.py.
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, HTTPServer
+from typing import Optional
+
+import numpy as np
+
+MAX_BODY_BYTES = 1 << 30      # 1 GiB — a ~2.2M-window 4DOF request
+
+
+class _Handler(BaseHTTPRequestHandler):
+    # class attributes injected by make_server()
+    scorer = None
+    ready = False
+    quiet = True
+    protocol_version = "HTTP/1.1"
+
+    # ------------------------------------------------------------------
+    def log_message(self, fmt, *args):            # silence default stderr spam
+        if not self.quiet:
+            super().log_message(fmt, *args)
+
+    def _send(self, code: int, body: bytes, ctype: str = "application/json"):
+        self.send_response(code)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _send_json(self, code: int, obj) -> None:
+        self._send(code, json.dumps(obj).encode())
+
+    def _err(self, code: int, msg: str) -> None:
+        self._send_json(code, {"error": msg})
+
+    # ------------------------------------------------------------------
+    def do_GET(self):
+        if self.path == "/healthz":
+            if self.ready:
+                self._send_json(200, {"status": "ok", "warm": True})
+            else:
+                self._send_json(503, {"status": "warming"})
+        elif self.path == "/info":
+            s = self.scorer
+            self._send_json(200, {
+                "buckets": list(s.buckets()),
+                "min_bucket": s.min_bucket,
+                "max_batch": s.max_batch,
+                "seq_len": s.seq_len,
+                "num_features": int(np.asarray(s.mean).shape[-1]),
+                "threshold": float(np.asarray(s.threshold)),
+                "use_fused_vae": bool(s.use_fused_vae),
+                "mesh_devices": (int(s.mesh.devices.size)
+                                 if s.mesh is not None else None),
+                "labels": {"0": "Normal", "1": "Sensor Fault",
+                           "2": "Structural Fault"},
+            })
+        else:
+            self._err(404, f"unknown path {self.path!r}")
+
+    # ------------------------------------------------------------------
+    def _read_windows(self) -> Optional[np.ndarray]:
+        n = int(self.headers.get("Content-Length", 0))
+        if n <= 0:
+            self._err(400, "empty body")
+            return None
+        if n > MAX_BODY_BYTES:
+            self._err(413, f"body {n} bytes exceeds {MAX_BODY_BYTES}")
+            return None
+        body = self.rfile.read(n)
+        ctype = (self.headers.get("Content-Type") or "").split(";")[0].strip()
+
+        if ctype == "application/octet-stream":
+            shape_hdr = self.headers.get("X-Shape", "")
+            try:
+                shape = tuple(int(x) for x in shape_hdr.split(","))
+                if len(shape) != 3 or any(s < 0 for s in shape):
+                    raise ValueError
+            except ValueError:
+                self._err(400, "X-Shape header must be 'N,T,D' non-negative ints")
+                return None
+            expect = int(np.prod(shape)) * 4
+            if len(body) != expect:
+                self._err(400, f"body is {len(body)} bytes; shape {shape} "
+                               f"needs {expect}")
+                return None
+            return np.frombuffer(body, dtype="<f4").reshape(shape)
+
+        if ctype == "application/json":
+            try:
+                W = np.asarray(json.loads(body)["windows"], np.float32)
+            except (json.JSONDecodeError, KeyError, ValueError) as e:
+                self._err(400, f"bad JSON body: {e}")
+                return None
+            if W.ndim != 3:
+                self._err(400, f"windows must be (N, T, D); got shape {W.shape}")
+                return None
+            return W
+
+        self._err(415, "Content-Type must be application/octet-stream "
+                       "(with X-Shape) or application/json")
+        return None
+
+    def do_POST(self):
+        if self.path != "/score":
+            self._err(404, f"unknown path {self.path!r}")
+            return
+        if not self.ready:
+            self._err(503, "still warming up")
+            return
+        W = self._read_windows()
+        if W is None:
+            return
+        T = self.scorer.seq_len
+        D = int(np.asarray(self.scorer.mean).shape[-1])
+        if W.shape[0] and (T is not None and W.shape[1] != T or W.shape[2] != D):
+            self._err(422, f"scorer serves (N, {T}, {D}) windows; "
+                           f"got {tuple(W.shape)} — a mismatched T would "
+                           "recompile every bucket")
+            return
+        try:
+            out = self.scorer.score(W)
+        except Exception as e:                    # pragma: no cover - defense
+            self._err(500, f"scoring failed: {e}")
+            return
+        if (self.headers.get("Accept") or "") == "application/octet-stream":
+            buf = io.BytesIO()
+            np.savez(buf, **{k: np.asarray(v) for k, v in out.items()})
+            self._send(200, buf.getvalue(), "application/octet-stream")
+        else:
+            self._send_json(200, {
+                "n": int(W.shape[0]),
+                "mse": out["mse"].astype(float).tolist(),
+                "anomalous": out["anomalous"].astype(bool).tolist(),
+                "y_pred": out["y_pred"].astype(int).tolist(),
+                "p_struct": out["p_struct"].astype(float).tolist(),
+            })
+
+
+def make_server(scorer, host: str = "127.0.0.1", port: int = 8787,
+                warmup: bool = True, quiet: bool = True) -> HTTPServer:
+    """Build an HTTP server bound to ``scorer``; warm it in the background.
+
+    The socket binds immediately and ``serve_forever()`` can start right
+    away: ``/healthz`` answers 503 (and ``/score`` refuses) until the
+    warmup thread finishes compiling every bucket, then both flip ready —
+    so orchestrators see liveness during the multi-minute remote compiles
+    instead of a dead socket. Call ``shutdown()`` from another thread to
+    stop. The server's ``warm_event`` attribute lets callers/tests block on
+    readiness (``srv.warm_event.wait()``).
+    """
+    handler = type("BoundHandler", (_Handler,),
+                   {"scorer": scorer, "ready": not warmup, "quiet": quiet})
+    srv = HTTPServer((host, port), handler)
+    srv.warm_event = threading.Event()
+    if warmup:
+        def _warm():
+            scorer.warmup()
+            handler.ready = True
+            srv.warm_event.set()
+
+        threading.Thread(target=_warm, name="scorer-warmup",
+                         daemon=True).start()
+    else:
+        srv.warm_event.set()
+    return srv
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser(
+        prog="shm_tpu.serve_http",
+        description="HTTP scoring service over trained 4DOF artifacts")
+    ap.add_argument("--root", default="data/4dof",
+                    help="artifact root (models/, processed/)")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8787)
+    ap.add_argument("--min-bucket", type=int, default=256)
+    ap.add_argument("--max-batch", type=int, default=8192)
+    ap.add_argument("--devices", type=int, default=None,
+                    help="shard each request over the first N local devices")
+    ap.add_argument("--no-warmup", action="store_true",
+                    help="skip bucket pre-compilation (first requests compile)")
+    ap.add_argument("--verbose", action="store_true")
+    args = ap.parse_args(argv)
+
+    from shm_tpu.serve import HybridScorer
+
+    kw = dict(min_bucket=args.min_bucket, max_batch=args.max_batch)
+    if args.devices and args.devices > 1:
+        from shm_tpu.parallel import make_mesh
+
+        kw["mesh"] = make_mesh(args.devices)
+    scorer = HybridScorer.from_artifacts(args.root, **kw)
+    print(f"[serve] loaded artifacts from {args.root}; "
+          f"buckets={list(scorer.buckets())} T={scorer.seq_len}")
+    srv = make_server(scorer, args.host, args.port,
+                      warmup=not args.no_warmup, quiet=not args.verbose)
+    print(f"[serve] listening on http://{args.host}:{args.port} "
+          f"(healthz 503 until buckets compile)")
+
+    def _announce():
+        srv.warm_event.wait()
+        print("[serve] warm — all buckets compiled; serving traffic")
+
+    threading.Thread(target=_announce, daemon=True).start()
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        print("[serve] shutting down")
+        srv.shutdown()
+
+
+__all__ = ["make_server", "main"]
+
+
+if __name__ == "__main__":
+    main()

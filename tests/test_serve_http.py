@@ -1,0 +1,173 @@
+"""HTTP scoring service: real-socket round trips, both encodings, bad input."""
+
+import io
+import json
+import threading
+import urllib.request
+import urllib.error
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from shm_tpu.config import VAEConfig
+from shm_tpu.models import CNN4DOF, vae_from_config
+from shm_tpu.serve import HybridScorer
+from shm_tpu.serve_http import make_server
+
+
+@pytest.fixture(scope="module")
+def server():
+    cfg = VAEConfig(4, 3, 16, 2, 0.0, use_layernorm=True)
+    vae = vae_from_config(cfg)
+    cnn = CNN4DOF(dropout=0.0)
+    T, D = 20, 4
+    key = jax.random.PRNGKey(0)
+    vae_params = vae.init({"params": key}, jnp.zeros((2, T, D)))["params"]
+    cnn_vars = cnn.init({"params": key}, jnp.zeros((2, T, D, 2)))
+    scorer = HybridScorer(vae, cnn, vae_params, cnn_vars,
+                          np.zeros(D, np.float32), np.ones(D, np.float32),
+                          1.0, use_fused_vae=False, min_bucket=16,
+                          max_batch=32, seq_len=T)
+    srv = make_server(scorer, port=0)            # ephemeral port
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    assert srv.warm_event.wait(timeout=300), "warmup never finished"
+    yield base, scorer, T, D
+    srv.shutdown()
+
+
+def _req(url, data=None, headers=None, method=None):
+    r = urllib.request.Request(url, data=data, headers=headers or {},
+                               method=method)
+    with urllib.request.urlopen(r, timeout=30) as resp:
+        return resp.status, resp.headers.get("Content-Type"), resp.read()
+
+
+def test_healthz_503_during_warmup():
+    """Liveness during warmup: the socket must answer (503) while buckets
+    compile — on the real platform that window is minutes long."""
+    class SlowScorer:
+        gate = threading.Event()
+        mean = np.zeros(4, np.float32)
+        threshold = np.float32(1.0)
+        min_bucket, max_batch, seq_len = 16, 32, 20
+        use_fused_vae = False
+        mesh = None
+
+        def buckets(self):
+            return [16, 32]
+
+        def warmup(self):
+            self.gate.wait(timeout=60)
+
+    sc = SlowScorer()
+    srv = make_server(sc, port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _req(base + "/healthz")
+        assert ei.value.code == 503
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _req(base + "/score", data=b"x",
+                 headers={"Content-Type": "application/json"}, method="POST")
+        assert ei.value.code == 503
+        sc.gate.set()
+        assert srv.warm_event.wait(timeout=30)
+        code, _, body = _req(base + "/healthz")
+        assert code == 200 and json.loads(body)["warm"] is True
+    finally:
+        sc.gate.set()
+        srv.shutdown()
+
+
+def test_healthz_and_info(server):
+    base, scorer, T, D = server
+    code, _, body = _req(base + "/healthz")
+    assert code == 200 and json.loads(body)["warm"] is True
+    code, _, body = _req(base + "/info")
+    info = json.loads(body)
+    assert info["seq_len"] == T and info["num_features"] == D
+    assert info["buckets"] == list(scorer.buckets())
+
+
+def test_score_octet_stream_matches_scorer(server):
+    base, scorer, T, D = server
+    W = np.random.default_rng(0).normal(size=(7, T, D)).astype(np.float32)
+    code, _, body = _req(
+        base + "/score", data=W.tobytes(),
+        headers={"Content-Type": "application/octet-stream",
+                 "X-Shape": f"7,{T},{D}"}, method="POST")
+    assert code == 200
+    got = json.loads(body)
+    ref = scorer.score(W)
+    assert got["n"] == 7
+    np.testing.assert_allclose(got["mse"], ref["mse"], rtol=1e-5)
+    assert got["y_pred"] == ref["y_pred"].astype(int).tolist()
+    assert got["anomalous"] == ref["anomalous"].astype(bool).tolist()
+
+
+def test_score_binary_response(server):
+    base, scorer, T, D = server
+    W = np.random.default_rng(1).normal(size=(3, T, D)).astype(np.float32)
+    code, ctype, body = _req(
+        base + "/score", data=W.tobytes(),
+        headers={"Content-Type": "application/octet-stream",
+                 "X-Shape": f"3,{T},{D}",
+                 "Accept": "application/octet-stream"}, method="POST")
+    assert code == 200 and ctype == "application/octet-stream"
+    z = np.load(io.BytesIO(body))
+    ref = scorer.score(W)
+    np.testing.assert_allclose(z["mse"], ref["mse"], rtol=1e-6)
+    np.testing.assert_array_equal(z["y_pred"], ref["y_pred"])
+
+
+def test_score_json_body(server):
+    base, scorer, T, D = server
+    W = np.random.default_rng(2).normal(size=(2, T, D)).astype(np.float32)
+    code, _, body = _req(
+        base + "/score",
+        data=json.dumps({"windows": W.tolist()}).encode(),
+        headers={"Content-Type": "application/json"}, method="POST")
+    assert code == 200
+    got = json.loads(body)
+    ref = scorer.score(W)
+    np.testing.assert_allclose(got["mse"], ref["mse"], rtol=1e-5)
+
+
+@pytest.mark.parametrize("case", ["bad_shape_header", "short_body",
+                                  "wrong_T", "bad_ctype", "bad_json",
+                                  "not_found"])
+def test_bad_requests(server, case):
+    base, scorer, T, D = server
+    try:
+        if case == "bad_shape_header":
+            _req(base + "/score", data=b"\0" * 16,
+                 headers={"Content-Type": "application/octet-stream",
+                          "X-Shape": "nope"}, method="POST")
+        elif case == "short_body":
+            _req(base + "/score", data=b"\0" * 16,
+                 headers={"Content-Type": "application/octet-stream",
+                          "X-Shape": f"7,{T},{D}"}, method="POST")
+        elif case == "wrong_T":
+            W = np.zeros((2, T + 1, D), np.float32)
+            _req(base + "/score", data=W.tobytes(),
+                 headers={"Content-Type": "application/octet-stream",
+                          "X-Shape": f"2,{T + 1},{D}"}, method="POST")
+        elif case == "bad_ctype":
+            _req(base + "/score", data=b"x",
+                 headers={"Content-Type": "text/plain"}, method="POST")
+        elif case == "bad_json":
+            _req(base + "/score", data=b"{not json",
+                 headers={"Content-Type": "application/json"}, method="POST")
+        elif case == "not_found":
+            _req(base + "/nope")
+    except urllib.error.HTTPError as e:
+        assert 400 <= e.code < 500
+        assert "error" in json.loads(e.read())
+    else:
+        pytest.fail("expected an HTTP error")
