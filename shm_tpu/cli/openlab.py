@@ -201,8 +201,8 @@ def cmd_train_vae(paths: Paths, cfg: OpenLabConfig, epochs: Optional[int] = None
     # size, so chunking keeps the fused execution win while bounding the
     # slow-day compile exposure (fast-day whole-run compile is seconds —
     # the server's variance is documented in BENCHMARKS.md).
-    from shm_tpu.cli.stage4dof import _make_mesh_opt
-    mesh = _make_mesh_opt(devices)
+    from shm_tpu.parallel import make_mesh_opt
+    mesh = make_mesh_opt(devices)
     if mesh is not None:
         print(f"[INFO] data-parallel training over {mesh.devices.size} devices")
     res = train_vae(model, Z, Z[: max(len(Z) // 10, 1)], tcfg, log_every=10,
@@ -364,8 +364,8 @@ def cmd_train_cnn(paths: Paths, cfg: OpenLabConfig, epochs: Optional[int] = None
     tcfg = cfg.cnn_train if epochs is None else replace(cfg.cnn_train, epochs=epochs)
     tcfg = replace(tcfg, batch_size=128)  # 06_train_cnn.py:52
     model = CNNOpenLab(dropout=cfg.cnn.dropout)
-    from shm_tpu.cli.stage4dof import _make_mesh_opt
-    mesh = _make_mesh_opt(devices)
+    from shm_tpu.parallel import make_mesh_opt
+    mesh = make_mesh_opt(devices)
     if mesh is not None:
         print(f"[INFO] data-parallel training over {mesh.devices.size} devices")
     if quality:

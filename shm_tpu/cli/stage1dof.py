@@ -139,8 +139,8 @@ def cmd_train_vae(paths: Paths, cfg: Stage1DofConfig, epochs: int | None = None,
     # but save last_params for parity. The fused-epochs TPU default is
     # measured for THIS shape too (tools/probe_1dof_fused.py): 28s compile
     # + 14.5s/100 epochs vs 44.7s loop — fused wins even one-shot.
-    from shm_tpu.cli.stage4dof import _make_mesh_opt
-    mesh = _make_mesh_opt(devices)
+    from shm_tpu.parallel import make_mesh_opt
+    mesh = make_mesh_opt(devices)
     if mesh is not None:
         print(f"[INFO] data-parallel training over {mesh.devices.size} devices")
     res = train_vae(model, W, W[: max(len(W) // 10, 1)], tcfg, log_every=10,

@@ -228,16 +228,6 @@ def build_fraction_windows(files: List[str], frac, cfg: Stage4DofConfig) -> np.n
     return np.concatenate(out).astype(np.float32)
 
 
-def _make_mesh_opt(devices: int | None):
-    """CLI --devices N -> a 1-D data mesh over the first N local devices
-    (data-parallel training; SURVEY.md §2.4). None -> single-device."""
-    if not devices or devices <= 1:
-        return None
-    from shm_tpu.parallel import make_mesh
-
-    return make_mesh(devices)
-
-
 def cmd_train_vae(paths: Paths, cfg: Stage4DofConfig, epochs: int | None = None,
                   seed: int | None = None, kernel: bool | None = None,
                   devices: int | None = None) -> None:
@@ -264,7 +254,8 @@ def cmd_train_vae(paths: Paths, cfg: Stage4DofConfig, epochs: int | None = None,
     if seed is not None:
         tcfg = replace(tcfg, seed=seed)
     vae = vae_from_config(cfg.vae)
-    mesh = _make_mesh_opt(devices)
+    from shm_tpu.parallel import make_mesh_opt
+    mesh = make_mesh_opt(devices)
     if kernel is None:
         # default: the custom-VJP fused LSTM training kernels on TPU backends
         # (fastest path; equivalent RNG stream, seed-stability table in
@@ -442,7 +433,8 @@ def cmd_train_cnn(paths: Paths, cfg: Stage4DofConfig, epochs: int | None = None,
     if seed is not None:
         tcfg = replace(tcfg, seed=seed)
     cnn = CNN4DOF(dropout=cfg.cnn.dropout)
-    mesh = _make_mesh_opt(devices)
+    from shm_tpu.parallel import make_mesh_opt
+    mesh = make_mesh_opt(devices)
     if mesh is not None:
         print(f"[INFO] data-parallel training over {mesh.devices.size} devices")
     res = train_cnn(cnn, Xtr, ytr, Xva, yva, tcfg, log_every=1, mesh=mesh)

@@ -204,6 +204,13 @@ def silver_flag_metrics_batch(
     Rule spec: Codes/feature_utils.py:302-361 (``sensor_fault_silver_flags``
     aggregate; per-metric definitions at :204-260). Returns float/int arrays
     of shape (N,).
+
+    This is the public weak-supervision API (one call per run's window
+    stack); :func:`extract_run` deliberately does NOT use it — script 01's
+    labeling applies its OWN rule set (windowized provider masks, multi-
+    channel envelope variance, DMS load range;
+    01_extract_windows_and_labels.py:177-210), which differs from these
+    feature_utils silver rules.
     """
     U = np.atleast_2d(np.asarray(U_raw, dtype=float))
     N, T = U.shape
@@ -267,14 +274,20 @@ def invalid_ratio_1d(x: np.ndarray) -> float:
 
 def jump_ratio_1d(x: np.ndarray, delta: float) -> float:
     """|Δx| >= delta fraction among finite pairs (spec :209-216)."""
-    m = silver_flag_metrics_batch(np.asarray(x, float)[None], jump_th=delta)
-    return float(m["jump_ratio"][0])
+    x = np.asarray(x, dtype=float)
+    ok = np.isfinite(x[:-1]) & np.isfinite(x[1:]) if x.size >= 2 else np.zeros(0, bool)
+    if not ok.any():
+        return 0.0
+    return float(np.mean(np.abs(np.diff(x))[ok] >= float(delta)))
 
 
 def range_violation_ratio_1d(x: np.ndarray, abs_th: float) -> float:
     """|x| >= abs_th fraction among finite samples (spec :219-224)."""
-    m = silver_flag_metrics_batch(np.asarray(x, float)[None], abs_th=abs_th)
-    return float(m["range_violation_ratio"][0])
+    x = np.asarray(x, dtype=float)
+    ok = np.isfinite(x)
+    if not ok.any():
+        return 0.0
+    return float(np.mean(np.abs(x[ok]) >= float(abs_th)))
 
 
 def is_stuck_1d(x: np.ndarray, var_eps: float) -> bool:

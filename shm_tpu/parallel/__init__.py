@@ -1,5 +1,6 @@
 from shm_tpu.parallel.mesh import (
     make_mesh,
+    make_mesh_opt,
     shard_batch,
     replicate,
     make_dp_vae_train_step,
@@ -10,6 +11,7 @@ from shm_tpu.parallel.mesh import (
 
 __all__ = [
     "make_mesh",
+    "make_mesh_opt",
     "shard_batch",
     "replicate",
     "make_dp_vae_train_step",

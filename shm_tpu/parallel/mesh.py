@@ -37,6 +37,15 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
     return Mesh(np.array(devs[:n]), (axis,))
 
 
+def make_mesh_opt(devices: Optional[int], axis: str = "data") -> Optional[Mesh]:
+    """CLI ``--devices N`` adapter: a 1-D data mesh over the first N local
+    devices for data-parallel training (SURVEY.md §2.4), or None for the
+    single-device path when the flag is absent or N <= 1."""
+    if not devices or devices <= 1:
+        return None
+    return make_mesh(devices, axis)
+
+
 def shard_batch(x, mesh: Mesh, axis: str = "data"):
     """Place a batch-major array sharded along the mesh's data axis."""
     return jax.device_put(x, NamedSharding(mesh, P(axis)))
@@ -164,6 +173,7 @@ def make_dp_hybrid_shardmap(vae_model, cnn_model, mesh: Mesh, axis: str = "data"
 
 __all__ = [
     "make_mesh",
+    "make_mesh_opt",
     "shard_batch",
     "replicate",
     "make_dp_vae_train_step",

@@ -113,6 +113,7 @@ def make_hybrid_fn(vae_model, cnn_model, *, sample: bool = False,
                 use_layernorm=vae_model.use_layernorm,
                 dtype=fused_dtype or vae_model.dtype,
                 interpret=fused_interpret,
+                batch_tile=fused_batch_tile,
             )
             xin = jnp.stack([Z, resid], axis=-1)
         else:

@@ -47,13 +47,14 @@ from typing import Optional
 
 import numpy as np
 
-MAX_BODY_BYTES = 1 << 30      # 1 GiB — a ~2.2M-window 4DOF request
+MAX_BODY_BYTES = 1 << 30      # 1 GiB — a ~220k-window 4DOF request (4.8 KB each)
 
 
 class _Handler(BaseHTTPRequestHandler):
     # class attributes injected by make_server()
     scorer = None
     ready = False
+    warm_error = None           # str once the warmup thread has failed
     quiet = True
     protocol_version = "HTTP/1.1"
 
@@ -66,6 +67,8 @@ class _Handler(BaseHTTPRequestHandler):
         self.send_response(code)
         self.send_header("Content-Type", ctype)
         self.send_header("Content-Length", str(len(body)))
+        if self.close_connection:
+            self.send_header("Connection", "close")
         self.end_headers()
         self.wfile.write(body)
 
@@ -73,12 +76,18 @@ class _Handler(BaseHTTPRequestHandler):
         self._send(code, json.dumps(obj).encode())
 
     def _err(self, code: int, msg: str) -> None:
+        # error paths may not have consumed the request body; under
+        # HTTP/1.1 keep-alive the leftover bytes would be parsed as the
+        # NEXT request line, so close the connection on every error
+        self.close_connection = True
         self._send_json(code, {"error": msg})
 
     # ------------------------------------------------------------------
     def do_GET(self):
         if self.path == "/healthz":
-            if self.ready:
+            if self.warm_error is not None:
+                self._err(500, f"warmup failed: {self.warm_error}")
+            elif self.ready:
                 self._send_json(200, {"status": "ok", "warm": True})
             else:
                 self._send_json(503, {"status": "warming"})
@@ -102,7 +111,11 @@ class _Handler(BaseHTTPRequestHandler):
 
     # ------------------------------------------------------------------
     def _read_windows(self) -> Optional[np.ndarray]:
-        n = int(self.headers.get("Content-Length", 0))
+        try:
+            n = int(self.headers.get("Content-Length", 0))
+        except (TypeError, ValueError):
+            self._err(400, "bad Content-Length header")
+            return None
         if n <= 0:
             self._err(400, "empty body")
             return None
@@ -131,7 +144,7 @@ class _Handler(BaseHTTPRequestHandler):
         if ctype == "application/json":
             try:
                 W = np.asarray(json.loads(body)["windows"], np.float32)
-            except (json.JSONDecodeError, KeyError, ValueError) as e:
+            except (json.JSONDecodeError, KeyError, TypeError, ValueError) as e:
                 self._err(400, f"bad JSON body: {e}")
                 return None
             if W.ndim != 3:
@@ -146,6 +159,9 @@ class _Handler(BaseHTTPRequestHandler):
     def do_POST(self):
         if self.path != "/score":
             self._err(404, f"unknown path {self.path!r}")
+            return
+        if self.warm_error is not None:
+            self._err(500, f"warmup failed: {self.warm_error}")
             return
         if not self.ready:
             self._err(503, "still warming up")
@@ -189,17 +205,25 @@ def make_server(scorer, host: str = "127.0.0.1", port: int = 8787,
     so orchestrators see liveness during the multi-minute remote compiles
     instead of a dead socket. Call ``shutdown()`` from another thread to
     stop. The server's ``warm_event`` attribute lets callers/tests block on
-    readiness (``srv.warm_event.wait()``).
+    readiness (``srv.warm_event.wait()``); it also fires if warmup FAILS —
+    check ``srv.RequestHandlerClass.warm_error`` (surfaced as 500s on
+    /healthz and /score) after waiting.
     """
     handler = type("BoundHandler", (_Handler,),
-                   {"scorer": scorer, "ready": not warmup, "quiet": quiet})
+                   {"scorer": scorer, "ready": not warmup,
+                    "warm_error": None, "quiet": quiet})
     srv = HTTPServer((host, port), handler)
     srv.warm_event = threading.Event()
     if warmup:
         def _warm():
-            scorer.warmup()
-            handler.ready = True
-            srv.warm_event.set()
+            try:
+                scorer.warmup()
+                handler.ready = True
+            except Exception as e:            # surface via /healthz, not just
+                handler.warm_error = str(e)   # a stderr-only dead thread
+            finally:
+                srv.warm_event.set()          # waiters wake either way;
+                                              # check handler.warm_error
 
         threading.Thread(target=_warm, name="scorer-warmup",
                          daemon=True).start()
@@ -242,7 +266,11 @@ def main(argv=None) -> None:
 
     def _announce():
         srv.warm_event.wait()
-        print("[serve] warm — all buckets compiled; serving traffic")
+        err = srv.RequestHandlerClass.warm_error
+        if err is not None:
+            print(f"[serve] WARMUP FAILED: {err} — healthz/score answer 500")
+        else:
+            print("[serve] warm — all buckets compiled; serving traffic")
 
     threading.Thread(target=_announce, daemon=True).start()
     try:

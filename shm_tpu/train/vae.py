@@ -122,7 +122,10 @@ def train_vae(
     state, on-device best-val selection) stays device-resident between
     dispatches, so the trajectory is bit-identical to the whole-run program
     and the loop. If K does not divide E the remainder chunk costs a second
-    compile — prefer K | E.
+    compile — prefer K | E. A perf knob only: it has no effect when the
+    fused path is not taken (``fused_epochs=False``, the CPU auto-default,
+    or ``checkpoint_dir`` forcing the per-batch loop) — the loop already
+    pays no whole-run compile.
 
     ``Ztr``/``Zva``: (N, T, D) normalized window stacks (already on device or host).
 
@@ -144,6 +147,8 @@ def train_vae(
     4DOF/Scripts/03_train_vae.py:254-278). Incompatible with
     ``use_pallas_kernel`` (custom calls are not auto-partitionable).
     """
+    if epoch_chunk is not None and epoch_chunk < 1:
+        raise ValueError(f"epoch_chunk must be >= 1, got {epoch_chunk}")
     if mesh is not None and use_pallas_kernel:
         raise ValueError(
             "mesh= data-parallel training uses XLA auto-partitioning, which "
@@ -319,8 +324,6 @@ def train_vae(
         keys = epoch_keys
         e_idx_all = jnp.arange(1, E + 1, dtype=jnp.int32)
         chunk = min(epoch_chunk or E, E)
-        if chunk < 1:
-            raise ValueError(f"epoch_chunk must be >= 1, got {epoch_chunk}")
 
         @jax.jit
         def run_chunk(carry, Ztr, Zva, kl_ws, keys, e_idx):

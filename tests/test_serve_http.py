@@ -139,9 +139,59 @@ def test_score_json_body(server):
     np.testing.assert_allclose(got["mse"], ref["mse"], rtol=1e-5)
 
 
+def test_warmup_failure_surfaces_on_healthz():
+    """A warmup crash must flip healthz/score to 500 (not 503 forever)."""
+    class BrokenScorer:
+        mean = np.zeros(4, np.float32)
+        threshold = np.float32(1.0)
+        min_bucket, max_batch, seq_len = 16, 32, 20
+        use_fused_vae = False
+        mesh = None
+
+        def buckets(self):
+            return [16, 32]
+
+        def warmup(self):
+            raise RuntimeError("compile exploded")
+
+    srv = make_server(BrokenScorer(), port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        assert srv.warm_event.wait(timeout=30)
+        assert srv.RequestHandlerClass.warm_error == "compile exploded"
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _req(base + "/healthz")
+        assert ei.value.code == 500
+        assert "compile exploded" in json.loads(ei.value.read())["error"]
+    finally:
+        srv.shutdown()
+
+
+def test_error_responses_close_keepalive_connection(server):
+    """Error paths may leave an unread body on the socket; under HTTP/1.1
+    keep-alive those bytes would be parsed as the next request line, so every
+    error must carry Connection: close."""
+    import http.client
+
+    base, scorer, T, D = server
+    host, port = base.replace("http://", "").split(":")
+    conn = http.client.HTTPConnection(host, int(port), timeout=30)
+    try:
+        conn.request("POST", "/score", body=b"[1,2,3]",
+                     headers={"Content-Type": "application/json"})
+        r = conn.getresponse()
+        assert r.status == 400                    # non-dict JSON -> clean 400
+        assert (r.getheader("Connection") or "").lower() == "close"
+        r.read()
+    finally:
+        conn.close()
+
+
 @pytest.mark.parametrize("case", ["bad_shape_header", "short_body",
                                   "wrong_T", "bad_ctype", "bad_json",
-                                  "not_found"])
+                                  "json_not_dict", "not_found"])
 def test_bad_requests(server, case):
     base, scorer, T, D = server
     try:
@@ -163,6 +213,9 @@ def test_bad_requests(server, case):
                  headers={"Content-Type": "text/plain"}, method="POST")
         elif case == "bad_json":
             _req(base + "/score", data=b"{not json",
+                 headers={"Content-Type": "application/json"}, method="POST")
+        elif case == "json_not_dict":
+            _req(base + "/score", data=b"[1, 2, 3]",
                  headers={"Content-Type": "application/json"}, method="POST")
         elif case == "not_found":
             _req(base + "/nope")
