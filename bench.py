@@ -75,12 +75,17 @@ def load_trained_workload():
     from shm_tpu.utils.checkpoint import load_params
     from shm_tpu.utils.io import load_json
 
+    from shm_tpu.models.cnn import inference_conv_impl
+
     cfg = Stage4DofConfig()
     paths = Paths(str(root))
     splits = load_json(paths.run_splits)
     mean, std = _load_stats(paths)
     vae, vae_params = _load_vae(paths, cfg)
-    cnn = CNN4DOF(dropout=cfg.cnn.dropout, dtype=jnp.bfloat16)
+    # native lax.conv for the inference CNN on TPU: +28% device-side over
+    # im2col (same params/predictions; see models/cnn.py::inference_conv_impl)
+    cnn = CNN4DOF(dropout=cfg.cnn.dropout, dtype=jnp.bfloat16,
+                  conv_impl=inference_conv_impl())
     template = cnn.init({"params": jax.random.PRNGKey(0)},
                         jnp.zeros((2, cfg.seq_len, cfg.num_features, 2)))
     cnn_vars = load_params(template, paths.models / "cnn.msgpack")
@@ -103,9 +108,12 @@ def random_workload():
     from shm_tpu.config import Stage4DofConfig
     from shm_tpu.models import vae_from_config, CNN4DOF
 
+    from shm_tpu.models.cnn import inference_conv_impl
+
     cfg = Stage4DofConfig()
     vae = vae_from_config(cfg.vae)
-    cnn = CNN4DOF(dropout=cfg.cnn.dropout, dtype=jnp.bfloat16)
+    cnn = CNN4DOF(dropout=cfg.cnn.dropout, dtype=jnp.bfloat16,
+                  conv_impl=inference_conv_impl())
     key = jax.random.PRNGKey(0)
     vae_params = vae.init({"params": key},
                           jnp.zeros((2, SEQ_LEN, NUM_FEATURES)))["params"]

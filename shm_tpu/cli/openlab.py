@@ -420,8 +420,15 @@ def cmd_train_cnn(paths: Paths, cfg: OpenLabConfig, epochs: Optional[int] = None
 
 
 def _load_openlab_cnn(paths: Paths, cfg: OpenLabConfig):
+    from shm_tpu.models.cnn import inference_conv_impl
+
     art = paths.cnn_dir / "artifacts"
-    model = CNNOpenLab(dropout=cfg.cnn.dropout)
+    # pure inference from saved artifacts: native lax.conv on TPU — its
+    # inference graph compiles in ~4.5s where the im2col concats cost ~154s
+    # at this batch size (round-3 probe; steady-state within 9%, max prob
+    # diff 1.3e-3 bf16). Training keeps im2col (the ~115s lax TRAIN-step
+    # compile is the cost im2col exists to avoid).
+    model = CNNOpenLab(dropout=cfg.cnn.dropout, conv_impl=inference_conv_impl())
     template = model.init({"params": jax.random.PRNGKey(0)},
                           jnp.zeros((2, cfg.seq_len, 4, 1)))
     variables = load_params(template, art / "cnn_model_openlab.msgpack")

@@ -462,10 +462,14 @@ def cmd_train_cnn(paths: Paths, cfg: Stage4DofConfig, epochs: int | None = None,
 # ---------------------------------------------------------------------------
 
 def cmd_test_pipeline(paths: Paths, cfg: Stage4DofConfig) -> None:
+    from shm_tpu.models.cnn import inference_conv_impl
+
     splits = load_json(paths.run_splits)
     mean, std = _load_stats(paths)
     vae, vae_params = _load_vae(paths, cfg)
-    cnn = CNN4DOF(dropout=cfg.cnn.dropout)
+    # pure inference: native lax.conv on TPU (+28% device-side; identical
+    # param tree and predictions — models/cnn.py::inference_conv_impl)
+    cnn = CNN4DOF(dropout=cfg.cnn.dropout, conv_impl=inference_conv_impl())
     template = cnn.init({"params": jax.random.PRNGKey(0)},
                         jnp.zeros((2, cfg.seq_len, cfg.num_features, 2)))
     cnn_vars = load_params(template, paths.models / "cnn.msgpack")

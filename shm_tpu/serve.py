@@ -114,11 +114,16 @@ class HybridScorer:
         paths = Paths(str(root))
         mean, std = _load_stats(paths)
         vae, vae_params = _load_vae(paths, cfg)
+        from shm_tpu.models.cnn import inference_conv_impl
+
         # bf16 CNN compute: serving default (MXU-friendly); the f32-evaluated
         # CLI path (cli/stage4dof.py cmd_test_pipeline) and this bf16 path are
         # equivalence-tested on the trained artifacts in tests/test_serve.py
-        # (gate decision + 3-class prediction agreement).
-        cnn = CNN4DOF(dropout=cfg.cnn.dropout, dtype=kw.pop("cnn_dtype", jnp.bfloat16))
+        # (gate decision + 3-class prediction agreement). Native lax.conv on
+        # TPU (+28% device-side, identical param tree/predictions).
+        cnn = CNN4DOF(dropout=cfg.cnn.dropout,
+                      dtype=kw.pop("cnn_dtype", jnp.bfloat16),
+                      conv_impl=kw.pop("conv_impl", None) or inference_conv_impl())
         template = cnn.init({"params": jax.random.PRNGKey(0)},
                             jnp.zeros((2, cfg.seq_len, cfg.num_features, 2)))
         cnn_vars = load_params(template, paths.models / "cnn.msgpack")
