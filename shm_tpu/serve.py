@@ -93,6 +93,7 @@ class HybridScorer:
         self.threshold = jnp.float32(threshold)
         self.min_bucket = int(min_bucket)
         self.max_batch = int(max_batch)
+        self._series_fns: Dict[int, object] = {}   # stride -> jitted series fn
         # the window length this scorer serves; warmup() must compile the
         # shapes live traffic will dispatch, so T flows from the config/
         # artifacts (an openLAB-preset scorer serves T=200, not 100)
@@ -171,6 +172,95 @@ class HybridScorer:
             out = self._fn(self.vae_params, self.cnn_variables,
                            jnp.asarray(W), self.mean, self.std, self.threshold)
             np.asarray(out.mse)          # force completion (readback)
+
+    # ------------------------------------------------------------------
+    def _series_fn(self, stride: int):
+        """Jitted series scorer for one stride: windowize ON DEVICE (one
+        gather) then run the hybrid — the series upload is ~seq_len/stride x
+        smaller than the equivalent window-stack upload, which is the
+        request-latency floor on remote-attached TPUs."""
+        fn = self._series_fns.get(stride)
+        if fn is None:
+            from shm_tpu.data.windows import make_windows
+
+            T, inner = self.seq_len, self._fn
+
+            @jax.jit
+            def fn(vp, cv, xs, mean, std, thr):
+                return inner(vp, cv, make_windows(xs, T, stride),
+                             mean, std, thr)
+
+            self._series_fns[stride] = fn
+        return fn
+
+    def warmup_series(self, stride: int = 1,
+                      batch_sizes: Optional[Sequence[int]] = None) -> None:
+        """Pre-compile the series-scoring buckets for ``stride`` (same
+        window-count bucket set as :meth:`warmup`)."""
+        if self.seq_len is None:
+            raise ValueError("series scoring needs seq_len (see warmup())")
+        D = int(self.mean.shape[-1])
+        fn = self._series_fn(stride)
+        for b in (batch_sizes or self.buckets()):
+            xs = np.zeros(((b - 1) * stride + self.seq_len, D), np.float32)
+            out = fn(self.vae_params, self.cnn_variables, jnp.asarray(xs),
+                     self.mean, self.std, self.threshold)
+            np.asarray(out.mse)
+
+    def score_series(self, x: np.ndarray, stride: int = 1) -> Dict[str, np.ndarray]:
+        """Score every sliding window of a raw (T_total, D) series.
+
+        Windows are built ON DEVICE inside the compiled program (one gather),
+        so a request uploads the series itself — ~seq_len/stride x fewer
+        bytes than ``score(make_windows(x))`` (for the 4DOF stride-1 recipe:
+        48 KB per run instead of 4.3 MB). Output arrays have one entry per
+        window, identical to the windows path (equivalence pinned in
+        tests/test_serve.py). Requests longer than ``max_batch`` windows are
+        split into overlapping series chunks; padded window-count buckets
+        reuse :meth:`buckets`. With ``mesh=`` the batch-sharded windows path
+        is used instead (host windowing), same outputs.
+        """
+        x = np.asarray(x, np.float32)
+        if x.ndim != 2:
+            raise ValueError(f"expected a (T_total, D) series, got {x.shape}")
+        if self.seq_len is None:
+            raise ValueError("series scoring needs seq_len: construct with "
+                             "seq_len= or use from_artifacts()")
+        if stride < 1:
+            raise ValueError(f"stride must be >= 1, got {stride}")
+        T = self.seq_len
+        L = x.shape[0]
+        n = (L - T) // stride + 1 if L >= T else 0
+        if n <= 0:
+            return {k: np.zeros((0,), np.float32) for k in
+                    ("mse", "anomalous", "y_pred", "p_struct")}
+        if self.mesh is not None:
+            W = x[(np.arange(n) * stride)[:, None] + np.arange(T)[None, :]]
+            return self.score(W)
+
+        fn = self._series_fn(stride)
+        outs, i = [], 0
+        while i < n:
+            m = min(self.max_batch, n - i)
+            b = self._bucket(m)
+            Lp = (b - 1) * stride + T            # padded-series length
+            seg = x[i * stride: i * stride + (m - 1) * stride + T]
+            if seg.shape[0] < Lp:
+                seg = np.concatenate(
+                    [seg, np.zeros((Lp - seg.shape[0], x.shape[1]), np.float32)])
+            o = fn(self.vae_params, self.cnn_variables, jnp.asarray(seg),
+                   self.mean, self.std, self.threshold)
+            outs.append((o, m))
+            i += m
+
+        cat = lambda f: np.concatenate(
+            [np.asarray(f(o))[:k] for o, k in outs])
+        return {
+            "mse": cat(lambda o: o.mse),
+            "anomalous": cat(lambda o: o.anomalous),
+            "y_pred": cat(lambda o: o.y_pred),
+            "p_struct": cat(lambda o: o.p_struct),
+        }
 
     # ------------------------------------------------------------------
     def score(self, W: np.ndarray) -> Dict[str, np.ndarray]:

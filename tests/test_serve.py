@@ -68,6 +68,58 @@ def test_bucket_shapes(setup):
     assert scorer._bucket(500) == 128
 
 
+@pytest.mark.parametrize("stride,length", [(1, 120), (3, 200), (1, 300)])
+def test_score_series_matches_windows_path(setup, stride, length):
+    """On-device windowizing (score_series) must match score() on host-built
+    windows — incl. bucket padding and multi-chunk requests (length=300 with
+    max_batch=64 -> 2 chunks + a ragged bucket)."""
+    vae, cnn, vae_params, cnn_vars, W, mean, std = setup
+    T, D = W.shape[1], W.shape[2]
+    x = np.asarray(jax.random.normal(jax.random.PRNGKey(7), (length, D)),
+                   np.float32)
+    scorer = _scorer(setup, min_bucket=16, max_batch=64, seq_len=T)
+    got = scorer.score_series(x, stride=stride)
+    n = (length - T) // stride + 1
+    Wx = x[(np.arange(n) * stride)[:, None] + np.arange(T)[None, :]]
+    ref = scorer.score(Wx)
+    assert got["mse"].shape == (n,)
+    for k in ("mse", "anomalous", "y_pred", "p_struct"):
+        np.testing.assert_allclose(np.asarray(got[k], np.float64),
+                                   np.asarray(ref[k], np.float64),
+                                   atol=1e-6, err_msg=k)
+
+
+def test_score_series_edges(setup):
+    _, _, _, _, W, _, _ = setup
+    T = W.shape[1]
+    scorer = _scorer(setup, min_bucket=16, max_batch=32, seq_len=T)
+    out = scorer.score_series(np.zeros((T - 1, 4), np.float32))   # too short
+    assert all(v.shape == (0,) for v in out.values())
+    with pytest.raises(ValueError, match="series"):
+        scorer.score_series(np.zeros((100, 4, 1), np.float32))
+    with pytest.raises(ValueError, match="stride"):
+        scorer.score_series(np.zeros((100, 4), np.float32), stride=0)
+    with pytest.raises(ValueError, match="seq_len"):
+        _scorer(setup).score_series(np.zeros((100, 4), np.float32))
+    scorer.warmup_series()                                        # compiles
+
+
+def test_score_series_mesh_fallback(setup):
+    from shm_tpu.parallel import make_mesh
+
+    vae, cnn, vae_params, cnn_vars, W, mean, std = setup
+    T = W.shape[1]
+    sharded = HybridScorer(vae, cnn, vae_params, cnn_vars, mean, std, 1.0,
+                           use_fused_vae=False, min_bucket=16, max_batch=64,
+                           mesh=make_mesh(8), seq_len=T)
+    single = _scorer(setup, min_bucket=16, max_batch=64, seq_len=T)
+    x = np.asarray(jax.random.normal(jax.random.PRNGKey(8), (150, 4)),
+                   np.float32)
+    got, ref = sharded.score_series(x), single.score_series(x)
+    np.testing.assert_allclose(got["mse"], ref["mse"], atol=1e-6)
+    np.testing.assert_array_equal(got["y_pred"], ref["y_pred"])
+
+
 def test_empty_and_bad_input(setup):
     scorer = _scorer(setup)
     out = scorer.score(np.zeros((0, 20, 4), np.float32))
