@@ -12,13 +12,20 @@ Endpoints:
 - ``GET /info`` — scorer configuration (buckets, seq_len, threshold, mesh).
 - ``POST /score`` — an (N, T, D) float32 window stack; returns per-window
   gate MSE, anomaly decision, 3-class prediction, p(structural).
+- ``POST /score_series`` — a raw (T_total, D) float32 series; windows are
+  built ON DEVICE (``HybridScorer.score_series``), so the request uploads
+  ~seq_len/stride x fewer bytes (a 4DOF run: 48 KB vs 4.3 MB; measured
+  1.44x lower p50 through the remote tunnel). Optional ``X-Stride: k``
+  header (default 1). Same response schema, one entry per window.
 
   Request bodies, by Content-Type:
   - ``application/octet-stream``: raw little-endian float32 with an
-    ``X-Shape: N,T,D`` header (zero-copy; the production path), response is
+    ``X-Shape: N,T,D`` (or ``T_total,D`` for /score_series) header
+    (zero-copy; the production path), response is
     JSON by default or raw npz with ``Accept: application/octet-stream``.
-  - ``application/json``: ``{"windows": [[[...]]]}`` nested lists
-    (convenient, slower), response JSON.
+  - ``application/json``: ``{"windows": [[[...]]]}`` (or
+    ``{"series": [[...]]}``) nested lists (convenient, slower), response
+    JSON.
 
 The handler is intentionally single-threaded: the TPU executes one program at
 a time anyway, so queueing requests in the listener (the OS accept backlog)
@@ -110,7 +117,10 @@ class _Handler(BaseHTTPRequestHandler):
             self._err(404, f"unknown path {self.path!r}")
 
     # ------------------------------------------------------------------
-    def _read_windows(self) -> Optional[np.ndarray]:
+    def _read_array(self, ndim: int, json_key: str,
+                    shape_desc: str) -> Optional[np.ndarray]:
+        """Read an ndim-dimensional float32 array from the request body
+        (raw bytes + X-Shape header, or JSON under ``json_key``)."""
         try:
             n = int(self.headers.get("Content-Length", 0))
         except (TypeError, ValueError):
@@ -129,10 +139,11 @@ class _Handler(BaseHTTPRequestHandler):
             shape_hdr = self.headers.get("X-Shape", "")
             try:
                 shape = tuple(int(x) for x in shape_hdr.split(","))
-                if len(shape) != 3 or any(s < 0 for s in shape):
+                if len(shape) != ndim or any(s < 0 for s in shape):
                     raise ValueError
             except ValueError:
-                self._err(400, "X-Shape header must be 'N,T,D' non-negative ints")
+                self._err(400, f"X-Shape header must be '{shape_desc}' "
+                               "non-negative ints")
                 return None
             expect = int(np.prod(shape)) * 4
             if len(body) != expect:
@@ -143,21 +154,36 @@ class _Handler(BaseHTTPRequestHandler):
 
         if ctype == "application/json":
             try:
-                W = np.asarray(json.loads(body)["windows"], np.float32)
+                A = np.asarray(json.loads(body)[json_key], np.float32)
             except (json.JSONDecodeError, KeyError, TypeError, ValueError) as e:
                 self._err(400, f"bad JSON body: {e}")
                 return None
-            if W.ndim != 3:
-                self._err(400, f"windows must be (N, T, D); got shape {W.shape}")
+            if A.ndim != ndim:
+                self._err(400, f"{json_key} must be ({shape_desc}); "
+                               f"got shape {A.shape}")
                 return None
-            return W
+            return A
 
         self._err(415, "Content-Type must be application/octet-stream "
                        "(with X-Shape) or application/json")
         return None
 
+    def _respond_scores(self, out: dict, n: int) -> None:
+        if (self.headers.get("Accept") or "") == "application/octet-stream":
+            buf = io.BytesIO()
+            np.savez(buf, **{k: np.asarray(v) for k, v in out.items()})
+            self._send(200, buf.getvalue(), "application/octet-stream")
+        else:
+            self._send_json(200, {
+                "n": n,
+                "mse": out["mse"].astype(float).tolist(),
+                "anomalous": out["anomalous"].astype(bool).tolist(),
+                "y_pred": out["y_pred"].astype(int).tolist(),
+                "p_struct": out["p_struct"].astype(float).tolist(),
+            })
+
     def do_POST(self):
-        if self.path != "/score":
+        if self.path not in ("/score", "/score_series"):
             self._err(404, f"unknown path {self.path!r}")
             return
         if self.warm_error is not None:
@@ -166,11 +192,35 @@ class _Handler(BaseHTTPRequestHandler):
         if not self.ready:
             self._err(503, "still warming up")
             return
-        W = self._read_windows()
-        if W is None:
-            return
         T = self.scorer.seq_len
         D = int(np.asarray(self.scorer.mean).shape[-1])
+
+        if self.path == "/score_series":
+            x = self._read_array(2, "series", "T_total,D")
+            if x is None:
+                return
+            if x.shape[1] != D:
+                self._err(422, f"scorer serves D={D} features; "
+                               f"got series shape {tuple(x.shape)}")
+                return
+            try:
+                stride = int(self.headers.get("X-Stride", 1))
+                if stride < 1:
+                    raise ValueError
+            except (TypeError, ValueError):
+                self._err(400, "X-Stride header must be a positive int")
+                return
+            try:
+                out = self.scorer.score_series(x, stride=stride)
+            except Exception as e:                # pragma: no cover - defense
+                self._err(500, f"scoring failed: {e}")
+                return
+            self._respond_scores(out, len(out["mse"]))
+            return
+
+        W = self._read_array(3, "windows", "N,T,D")
+        if W is None:
+            return
         if W.shape[0] and (T is not None and W.shape[1] != T or W.shape[2] != D):
             self._err(422, f"scorer serves (N, {T}, {D}) windows; "
                            f"got {tuple(W.shape)} — a mismatched T would "
@@ -181,22 +231,12 @@ class _Handler(BaseHTTPRequestHandler):
         except Exception as e:                    # pragma: no cover - defense
             self._err(500, f"scoring failed: {e}")
             return
-        if (self.headers.get("Accept") or "") == "application/octet-stream":
-            buf = io.BytesIO()
-            np.savez(buf, **{k: np.asarray(v) for k, v in out.items()})
-            self._send(200, buf.getvalue(), "application/octet-stream")
-        else:
-            self._send_json(200, {
-                "n": int(W.shape[0]),
-                "mse": out["mse"].astype(float).tolist(),
-                "anomalous": out["anomalous"].astype(bool).tolist(),
-                "y_pred": out["y_pred"].astype(int).tolist(),
-                "p_struct": out["p_struct"].astype(float).tolist(),
-            })
+        self._respond_scores(out, int(W.shape[0]))
 
 
 def make_server(scorer, host: str = "127.0.0.1", port: int = 8787,
-                warmup: bool = True, quiet: bool = True) -> HTTPServer:
+                warmup: bool = True, warm_series: bool = False,
+                quiet: bool = True) -> HTTPServer:
     """Build an HTTP server bound to ``scorer``; warm it in the background.
 
     The socket binds immediately and ``serve_forever()`` can start right
@@ -218,6 +258,8 @@ def make_server(scorer, host: str = "127.0.0.1", port: int = 8787,
         def _warm():
             try:
                 scorer.warmup()
+                if warm_series and getattr(scorer, "mesh", None) is None:
+                    scorer.warmup_series()      # stride-1 /score_series buckets
                 handler.ready = True
             except Exception as e:            # surface via /healthz, not just
                 handler.warm_error = str(e)   # a stderr-only dead thread
@@ -260,7 +302,8 @@ def main(argv=None) -> None:
     print(f"[serve] loaded artifacts from {args.root}; "
           f"buckets={list(scorer.buckets())} T={scorer.seq_len}")
     srv = make_server(scorer, args.host, args.port,
-                      warmup=not args.no_warmup, quiet=not args.verbose)
+                      warmup=not args.no_warmup, warm_series=True,
+                      quiet=not args.verbose)
     print(f"[serve] listening on http://{args.host}:{args.port} "
           f"(healthz 503 until buckets compile)")
 

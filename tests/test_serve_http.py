@@ -126,6 +126,39 @@ def test_score_binary_response(server):
     np.testing.assert_array_equal(z["y_pred"], ref["y_pred"])
 
 
+def test_score_series_endpoint_matches_scorer(server):
+    base, scorer, T, D = server
+    x = np.random.default_rng(3).normal(size=(T + 25, D)).astype(np.float32)
+    code, _, body = _req(
+        base + "/score_series", data=x.tobytes(),
+        headers={"Content-Type": "application/octet-stream",
+                 "X-Shape": f"{x.shape[0]},{D}", "X-Stride": "2"},
+        method="POST")
+    assert code == 200
+    got = json.loads(body)
+    ref = scorer.score_series(x, stride=2)
+    assert got["n"] == len(ref["mse"]) == 25 // 2 + 1
+    np.testing.assert_allclose(got["mse"], ref["mse"], rtol=1e-5)
+    assert got["y_pred"] == ref["y_pred"].astype(int).tolist()
+    # JSON body + default stride
+    code, _, body = _req(
+        base + "/score_series",
+        data=json.dumps({"series": x.tolist()}).encode(),
+        headers={"Content-Type": "application/json"}, method="POST")
+    assert json.loads(body)["n"] == 26
+    # wrong feature count -> 422; bad stride -> 400
+    for hdrs, data in (
+        ({"Content-Type": "application/octet-stream",
+          "X-Shape": f"{T},{D + 1}"}, np.zeros((T, D + 1), np.float32).tobytes()),
+        ({"Content-Type": "application/octet-stream",
+          "X-Shape": f"{T},{D}", "X-Stride": "0"},
+         np.zeros((T, D), np.float32).tobytes()),
+    ):
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _req(base + "/score_series", data=data, headers=hdrs, method="POST")
+        assert ei.value.code in (400, 422)
+
+
 def test_score_json_body(server):
     base, scorer, T, D = server
     W = np.random.default_rng(2).normal(size=(2, T, D)).astype(np.float32)
