@@ -261,8 +261,10 @@ def cmd_train_vae(paths: Paths, cfg: Stage4DofConfig, epochs: int | None = None,
         # (fastest path; equivalent RNG stream, seed-stability table in
         # BENCHMARKS.md). CPU keeps the XLA path (no Mosaic compiler there).
         # With --devices the XLA path is required (train_vae mesh= uses GSPMD
-        # auto-partitioning, which cannot split Pallas custom calls).
-        kernel = mesh is None and jax.default_backend() in ("tpu", "axon")
+        # auto-partitioning, which cannot split Pallas custom calls); with
+        # --cell min_gru the XLA path IS the fast path (parallel scan).
+        kernel = (mesh is None and cfg.vae.cell == "lstm"
+                  and jax.default_backend() in ("tpu", "axon"))
     if mesh is not None:
         print(f"[INFO] data-parallel training over {mesh.devices.size} devices")
     res = train_vae(vae, Ztr, Zva, tcfg, log_every=1, use_pallas_kernel=kernel,
@@ -275,6 +277,7 @@ def cmd_train_vae(paths: Paths, cfg: Stage4DofConfig, epochs: int | None = None,
         "epochs": tcfg.epochs, "batch_size": tcfg.batch_size,
         "latent_dim": cfg.vae.latent_dim, "hidden_dim": cfg.vae.hidden_dim,
         "num_layers": cfg.vae.num_layers, "dropout": cfg.vae.dropout,
+        "cell": cfg.vae.cell,
         "kl_warmup_ratio": tcfg.kl_warmup_ratio,
         "best_val_total": res.best_val, "best_epoch": res.best_epoch,
         "train_seconds": res.seconds,
@@ -630,9 +633,17 @@ def main(argv=None) -> None:
                          "devices (1-D mesh, batch sharded, grads psum'd; "
                          "trajectory matches single-device to reduction-order "
                          "tolerance)")
+    ap.add_argument("--cell", choices=["lstm", "min_gru"], default="lstm",
+                    help="VAE recurrence family (stage-wide: train-vae, "
+                         "threshold, and test-pipeline must all use the same "
+                         "value). min_gru is the opt-in parallel-scan cell "
+                         "(models/minrnn.py) — faster on TPU, NOT the "
+                         "reference-parity model; see BENCHMARKS.md")
     args = ap.parse_args(argv)
 
     cfg = Stage4DofConfig()
+    if args.cell != "lstm":
+        cfg = replace(cfg, vae=replace(cfg.vae, cell=args.cell))
     paths = Paths(args.root)
     plot = not args.no_plots
 

@@ -37,6 +37,9 @@ class VAEConfig:
     num_layers: int = 2
     dropout: float = 0.3
     use_layernorm: bool = True
+    # recurrence family: "lstm" (reference parity, default) or "min_gru"
+    # (opt-in parallel-scan cell, shm_tpu.models.minrnn — NOT a parity model)
+    cell: str = "lstm"
 
 
 @dataclass(frozen=True)

@@ -39,6 +39,11 @@ def torch_linear_init(fan_in: int):
 
 
 class TemporalVAE(nn.Module):
+    """``cell``: the recurrence family. ``"lstm"`` (default) is the
+    reference-parity sequential LSTM; ``"min_gru"`` is the opt-in
+    parallel-scan cell (:mod:`shm_tpu.models.minrnn`) — same VAE topology,
+    different (non-parity) recurrence, chosen for TPU throughput."""
+
     input_dim: int = 12
     latent_dim: int = 16
     hidden_dim: int = 128
@@ -46,11 +51,27 @@ class TemporalVAE(nn.Module):
     dropout: float = 0.3
     use_layernorm: bool = True
     dtype: Any = jnp.float32
+    cell: str = "lstm"
+    # time-scan lowering for cell="min_gru" ("sequential" | "associative");
+    # ignored by the LSTM cell
+    scan_impl: str = "sequential"
 
     def setup(self):
         H, Z, D = self.hidden_dim, self.latent_dim, self.input_dim
-        self.encoder = LSTMStack(H, self.num_layers, self.dropout, self.dtype,
-                                 name="encoder_lstm")
+        if self.cell == "lstm":
+            def Stack(H, L, drop, dt, name):
+                return LSTMStack(H, L, drop, dt, name=name)
+        elif self.cell == "min_gru":
+            from shm_tpu.models.minrnn import MinGRUStack
+
+            def Stack(H, L, drop, dt, name):
+                return MinGRUStack(H, L, drop, dt, scan_impl=self.scan_impl,
+                                   name=name)
+        else:
+            raise ValueError(f"unknown cell {self.cell!r} "
+                             "(expected 'lstm' or 'min_gru')")
+        self.encoder = Stack(H, self.num_layers, self.dropout, self.dtype,
+                             name="encoder_lstm")
         if self.use_layernorm:
             self.layer_norm = nn.LayerNorm(dtype=self.dtype)
         self.fc_mu = nn.Dense(Z, kernel_init=torch_linear_init(H),
@@ -60,8 +81,8 @@ class TemporalVAE(nn.Module):
         self.fc_latent_to_hidden = nn.Dense(H, kernel_init=torch_linear_init(Z),
                                             bias_init=torch_linear_init(Z),
                                             dtype=self.dtype)
-        self.decoder = LSTMStack(H, self.num_layers, self.dropout, self.dtype,
-                                 name="decoder_lstm")
+        self.decoder = Stack(H, self.num_layers, self.dropout, self.dtype,
+                             name="decoder_lstm")
         self.output_layer = nn.Dense(D, kernel_init=torch_linear_init(H),
                                      bias_init=torch_linear_init(H), dtype=self.dtype)
 
@@ -104,6 +125,7 @@ def vae_from_config(cfg: VAEConfig, dtype: Any = jnp.float32) -> TemporalVAE:
         dropout=cfg.dropout,
         use_layernorm=cfg.use_layernorm,
         dtype=dtype,
+        cell=getattr(cfg, "cell", "lstm"),
     )
 
 

@@ -74,6 +74,11 @@ def make_hybrid_fn(vae_model, cnn_model, *, sample: bool = False,
     """
     if use_fused_vae and sample:
         raise ValueError("fused VAE kernel is deterministic (sample=False only)")
+    cell = getattr(vae_model, "cell", "lstm")
+    if use_fused_vae and cell not in ("lstm", "min_gru"):
+        raise ValueError(f"no fused kernel for cell={cell!r}")
+    if fused_layout == "transposed" and cell != "lstm":
+        raise ValueError("fused_layout='transposed' is LSTM-kernel only")
     if fused_layout not in ("nhwc", "transposed"):
         raise ValueError(f"unknown fused_layout {fused_layout!r}")
     if fused_layout == "transposed" and not use_fused_vae:
@@ -105,16 +110,30 @@ def make_hybrid_fn(vae_model, cnn_model, *, sample: bool = False,
                 cnn_variables, Zt, resid_t, d_real=D,
                 dtype=fused_dtype or jnp.bfloat16)[:N]
         elif use_fused_vae:
-            from shm_tpu.ops import fused_vae_gate
+            if cell == "min_gru":
+                from shm_tpu.ops import fused_mingru_gate
 
-            mse, resid = fused_vae_gate(
-                vae_params, Z,
-                num_layers=vae_model.num_layers,
-                use_layernorm=vae_model.use_layernorm,
-                dtype=fused_dtype or vae_model.dtype,
-                interpret=fused_interpret,
-                batch_tile=fused_batch_tile,
-            )
+                mse, resid = fused_mingru_gate(
+                    vae_params, Z,
+                    num_layers=vae_model.num_layers,
+                    use_layernorm=vae_model.use_layernorm,
+                    dtype=fused_dtype or vae_model.dtype,
+                    interpret=fused_interpret,
+                    emulate=fused_interpret,
+                    batch_tile=min(fused_batch_tile, 128)
+                    if not fused_interpret else fused_batch_tile,
+                )
+            else:
+                from shm_tpu.ops import fused_vae_gate
+
+                mse, resid = fused_vae_gate(
+                    vae_params, Z,
+                    num_layers=vae_model.num_layers,
+                    use_layernorm=vae_model.use_layernorm,
+                    dtype=fused_dtype or vae_model.dtype,
+                    interpret=fused_interpret,
+                    batch_tile=fused_batch_tile,
+                )
             xin = jnp.stack([Z, resid], axis=-1)
         else:
             rngs = {"reparam": key} if sample else {}

@@ -62,7 +62,9 @@ class HybridScorer:
             raise ValueError("need 1 <= min_bucket <= max_batch")
         if use_fused_vae is None:
             use_fused_vae = (jax.default_backend() in ("tpu", "axon")
-                             and vae_model.num_layers in (1, 2))
+                             and vae_model.num_layers in (1, 2)
+                             and getattr(vae_model, "cell", "lstm")
+                             in ("lstm", "min_gru"))
         if mesh is not None:
             # multi-chip serving: each device runs the full pipeline on its
             # batch shard (shard_map — works with the Pallas kernel too,
@@ -113,6 +115,17 @@ class HybridScorer:
 
         cfg = cfg or Stage4DofConfig()
         paths = Paths(str(root))
+        # the trainer records the recurrence family in its meta manifest;
+        # artifacts trained with --cell min_gru must be served with the same
+        # cell (the param trees differ, so a mismatch would fail the restore
+        # below — this makes the right thing automatic instead)
+        meta_path = paths.processed / "stage1_vae_train_meta.json"
+        if meta_path.exists():
+            meta_cell = load_json(meta_path).get("cell", "lstm")
+            if meta_cell != cfg.vae.cell:
+                from shm_tpu.config import replace as _replace
+
+                cfg = _replace(cfg, vae=_replace(cfg.vae, cell=meta_cell))
         mean, std = _load_stats(paths)
         vae, vae_params = _load_vae(paths, cfg)
         from shm_tpu.models.cnn import inference_conv_impl

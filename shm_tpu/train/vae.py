@@ -205,6 +205,11 @@ def train_vae(
 
         if model.num_layers != 2:
             raise ValueError("use_pallas_kernel requires a 2-layer preset")
+        if getattr(model, "cell", "lstm") != "lstm":
+            raise ValueError(
+                "use_pallas_kernel implements the LSTM recurrence only; "
+                f"cell={model.cell!r} trains on the XLA path (its parallel "
+                "scan needs no Pallas kernel)")
         H, Zd = model.hidden_dim, model.latent_dim
         drop = model.dropout
 
@@ -530,11 +535,15 @@ def reconstruction_mse(
     if fused == "auto":
         # the tunneled TPU platform reports itself as "axon"
         fused = (not sample and jax.default_backend() in ("tpu", "axon")
-                 and getattr(model, "num_layers", 0) in (1, 2))
+                 and getattr(model, "num_layers", 0) in (1, 2)
+                 and getattr(model, "cell", "lstm") in ("lstm", "min_gru"))
     if fused and not sample:
-        from shm_tpu.ops import fused_vae_gate
+        if getattr(model, "cell", "lstm") == "min_gru":
+            from shm_tpu.ops import fused_mingru_gate as gate_fn
+        else:
+            from shm_tpu.ops import fused_vae_gate as gate_fn
 
-        mse, _ = fused_vae_gate(
+        mse, _ = gate_fn(
             params, Z, num_layers=model.num_layers,
             use_layernorm=model.use_layernorm, with_residual=False,
             io_dtype=jnp.bfloat16,

@@ -94,6 +94,26 @@ class TestMeshTraining:
         for a, b in zip(jax.tree.leaves(got.params), jax.tree.leaves(ref.params)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
+    def test_train_vae_mesh_mingru(self):
+        """The min_gru preset data-parallelizes through the same GSPMD path
+        (pure XLA forward — nothing LSTM-specific in the mesh wiring)."""
+        from shm_tpu.config import TrainConfig, VAEConfig
+        from shm_tpu.train.vae import train_vae
+
+        vae = vae_from_config(VAEConfig(4, 3, 8, 2, 0.2, use_layernorm=True,
+                                        cell="min_gru"))
+        key = jax.random.PRNGKey(7)
+        Ztr = np.asarray(jax.random.normal(key, (48, 16, 4)))
+        Zva = np.asarray(jax.random.normal(jax.random.fold_in(key, 1),
+                                           (24, 16, 4)))
+        cfg = TrainConfig(epochs=2, batch_size=16, lr=1e-3, seed=0)
+        ref = train_vae(vae, Ztr, Zva, cfg, fused_epochs=False)
+        got = train_vae(vae, Ztr, Zva, cfg, fused_epochs=False,
+                        mesh=make_mesh(8))
+        np.testing.assert_allclose(got.history["train_total"],
+                                   ref.history["train_total"], rtol=1e-5)
+        assert got.best_epoch == ref.best_epoch
+
     def test_train_vae_mesh_rejects_pallas_kernel(self):
         from shm_tpu.config import TrainConfig
         from shm_tpu.train.vae import train_vae

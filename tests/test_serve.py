@@ -215,6 +215,31 @@ def test_from_artifacts_bf16_cnn_matches_f32_cli_path():
     np.testing.assert_allclose(a["p_struct"], b["p_struct"], atol=2e-2)
 
 
+@pytest.mark.skipif(
+    not (REPO / "data/4dof_mingru/models/temporal_vae.msgpack").exists(),
+    reason="trained minGRU 4DOF artifacts not present")
+def test_from_artifacts_autodetects_mingru_cell():
+    """Artifacts trained with ``--cell min_gru`` load without any cfg hint:
+    from_artifacts reads the cell from stage1_vae_train_meta.json. A wrong
+    cell cannot pass silently — the param trees differ ([D,2H] vs [D,4H]
+    w_ih), so msgpack restore would raise — loading + sane scores IS the pin.
+    Windows come from data/4dof/raw (byte-identical generator seeds; the
+    minGRU root deliberately does not duplicate the 3.3 MB raw tree)."""
+    from shm_tpu.cli.stage4dof import Paths, build_fraction_windows
+    from shm_tpu.config import Stage4DofConfig
+    from shm_tpu.utils.io import load_json
+
+    scorer = HybridScorer.from_artifacts(REPO / "data/4dof_mingru",
+                                         use_fused_vae=False)
+    cfg = Stage4DofConfig()
+    splits = load_json(Paths(str(REPO / "data/4dof")).run_splits)
+    W = build_fraction_windows(splits["normal"]["files"][:1], cfg.test_frac,
+                               cfg)[:64]
+    out = scorer.score(W)
+    assert (~out["anomalous"]).mean() > 0.9
+    assert (out["y_pred"][~out["anomalous"].astype(bool)] == 0).all()
+
+
 def test_mesh_sharded_scorer_matches_single_device(setup):
     """Multi-chip serving: the shard_map-backed scorer on an 8-virtual-device
     mesh produces the same outputs as the single-device path."""
