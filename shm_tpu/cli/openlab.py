@@ -220,7 +220,7 @@ def cmd_train_vae(paths: Paths, cfg: OpenLabConfig, epochs: Optional[int] = None
                           "std_path": str(art / "vae_clean_std.npy")},
         "model": {"input_dim": len(CHANNELS_IDX), "latent_dim": cfg.vae.latent_dim,
                   "hidden_dim": cfg.vae.hidden_dim, "num_layers": cfg.vae.num_layers,
-                  "dropout": cfg.vae.dropout},
+                  "dropout": cfg.vae.dropout, "cell": cfg.vae.cell},
         "optimizer": {"name": "Adam", "lr": tcfg.lr,
                       "weight_decay": tcfg.weight_decay,
                       "max_grad_norm": tcfg.grad_clip},
@@ -243,7 +243,7 @@ def _load_openlab_vae(paths: Paths, cfg: OpenLabConfig):
     mc = manifest["model"]
     vcfg = replace(cfg.vae, input_dim=mc["input_dim"], latent_dim=mc["latent_dim"],
                    hidden_dim=mc["hidden_dim"], num_layers=mc["num_layers"],
-                   dropout=mc["dropout"])
+                   dropout=mc["dropout"], cell=mc.get("cell", "lstm"))
     model = vae_from_config(vcfg)
     template = model.init({"params": jax.random.PRNGKey(0)},
                           jnp.zeros((2, cfg.seq_len, mc["input_dim"])))
@@ -781,10 +781,17 @@ def main(argv=None) -> None:
                          "both serve on-device in test-hybrid")
     ap.add_argument("--devices", type=int, default=None,
                     help="data-parallel training over the first N local devices")
+    ap.add_argument("--cell", choices=["lstm", "min_gru"], default="lstm",
+                    help="VAE recurrence family for train-vae (recorded in "
+                         "the manifest; downstream commands auto-detect it). "
+                         "min_gru is the opt-in parallel-scan cell — NOT the "
+                         "reference-parity model; see BENCHMARKS.md")
     args = ap.parse_args(argv)
 
     raw_dir = args.raw_dir or default_openlab_raw_dir()
     cfg = OpenLabConfig()
+    if args.cell != "lstm":
+        cfg = replace(cfg, vae=replace(cfg.vae, cell=args.cell))
     paths = Paths(args.root, raw_dir)
 
     steps = {

@@ -41,7 +41,7 @@ from shm_tpu.models import vae_from_config
 from shm_tpu.sim import simulate_free_vibration_sdof, make_clean_variants, make_unseen_variants
 from shm_tpu.sim.signals import SEEN_COLUMNS, UNSEEN_COLUMNS, variants_to_matrix
 from shm_tpu.train import train_vae
-from shm_tpu.utils.io import ensure_dir, save_json, save_npy, load_npy
+from shm_tpu.utils.io import ensure_dir, load_json, save_json, save_npy, load_npy
 from shm_tpu.utils.checkpoint import save_params, load_params
 
 VARIANT_NAMES_SEEN = ["Original", "Drifted", "Upscaled Amplitude", "Low-Frequency"]
@@ -122,7 +122,8 @@ def cmd_train_vae(paths: Paths, cfg: Stage1DofConfig, epochs: int | None = None,
     split = int(cfg.train_frac * T)
     train_data = data[:split]
     save_json({"T": int(T), "split_index": int(split),
-               "train_frac": float(cfg.train_frac)}, paths.processed / "split.json")
+               "train_frac": float(cfg.train_frac),
+               "cell": cfg.vae.cell}, paths.processed / "split.json")
 
     mean, std = compute_standardizer(jnp.asarray(train_data))
     save_npy(np.asarray(mean), paths.processed / "vae_mean.npy")
@@ -178,7 +179,16 @@ def _encode_mu(model, params, W: np.ndarray, batch: int = 2048) -> np.ndarray:
 
 
 def _load_model(paths: Paths, cfg: Stage1DofConfig):
-    model = vae_from_config(cfg.vae)
+    # the trainer records the recurrence family in split.json; a mismatched
+    # cell cannot restore (the param trees differ), so detect it here and the
+    # eval commands work without re-passing --cell
+    split_meta = paths.processed / "split.json"
+    vcfg = cfg.vae
+    if split_meta.exists():
+        cell = load_json(split_meta).get("cell", "lstm")
+        if cell != vcfg.cell:
+            vcfg = replace(vcfg, cell=cell)
+    model = vae_from_config(vcfg)
     template = model.init({"params": jax.random.PRNGKey(0)},
                           jnp.zeros((2, cfg.seq_len, cfg.vae.input_dim)))
     restored = load_params({"params": template["params"]},
@@ -316,9 +326,16 @@ def main(argv=None) -> None:
     ap.add_argument("--no-plots", action="store_true")
     ap.add_argument("--devices", type=int, default=None,
                     help="data-parallel training over the first N local devices")
+    ap.add_argument("--cell", choices=["lstm", "min_gru"], default="lstm",
+                    help="VAE recurrence family for train-vae (recorded in "
+                         "split.json; the eval commands auto-detect it). "
+                         "min_gru is the opt-in parallel-scan cell — NOT the "
+                         "reference-parity model; see BENCHMARKS.md")
     args = ap.parse_args(argv)
 
     cfg = Stage1DofConfig()
+    if args.cell != "lstm":
+        cfg = replace(cfg, vae=replace(cfg.vae, cell=args.cell))
     paths = Paths(args.root)
     plot = not args.no_plots
 

@@ -63,6 +63,28 @@ def test_stage1dof_train_vae_devices_flag_matches_single(tmp_path):
                                    rtol=1e-5, err_msg=col)
 
 
+def test_stage1dof_chain_mingru_cell(tmp_path):
+    """`--cell min_gru` trains stage 1 end-to-end; the eval commands
+    auto-detect the cell from split.json (no --cell needed downstream) —
+    restoring with the wrong cell would fail (param trees differ)."""
+    import pandas as pd
+    from shm_tpu.cli import stage1dof
+
+    root = str(tmp_path / "1dof")
+    stage1dof.main(["gen-seen", "--root", root, "--no-plots"])
+    stage1dof.main(["gen-unseen", "--root", root, "--no-plots"])
+    stage1dof.main(["train-vae", "--root", root, "--epochs", "1", "--no-plots",
+                    "--cell", "min_gru"])
+    split = json.loads((tmp_path / "1dof" / "processed"
+                        / "split.json").read_text())
+    assert split["cell"] == "min_gru"
+    # NOTE: no --cell here — auto-detected
+    stage1dof.main(["test-seen", "--root", root, "--no-plots"])
+    r = pd.read_csv(tmp_path / "1dof" / "tables" / "reconstruction_seen"
+                    / "segment_rmse.csv")
+    assert np.isfinite(r["rmse"]).all()
+
+
 @slow
 def test_stage4dof_chain(tmp_path):
     from shm_tpu.cli import stage4dof
@@ -109,3 +131,27 @@ def test_openlab_chain(tmp_path):
     summary = json.loads((tmp_path / "openlab" / "output" / "Hybrid_Pipeline"
                           / "reports" / "comparison_summary.json").read_text())
     assert len(summary["models"]) == 6
+
+
+@slow
+def test_openlab_vae_mingru_cell(tmp_path):
+    """openLAB `--cell min_gru`: the manifest records the cell and
+    validate-vae auto-detects it (1-layer preset through the minGRU stack)."""
+    if not os.path.isdir("/root/reference/20250506_openLAB_tests/Data/raw"):
+        pytest.skip("reference raw data not mounted")
+    from shm_tpu.cli import openlab
+
+    root = str(tmp_path / "openlab")
+    for cmd in ("extract", "make-splits"):
+        openlab.main([cmd, "--root", root])
+    openlab.main(["train-vae", "--root", root, "--epochs", "1",
+                  "--cell", "min_gru"])
+    manifest = json.loads(
+        (tmp_path / "openlab" / "output" / "VAE_Training" / "artifacts"
+         / "vae_clean_manifest.json").read_text())
+    assert manifest["model"]["cell"] == "min_gru"
+    openlab.main(["validate-vae", "--root", root])   # no --cell: auto-detect
+    thr = json.loads(
+        (tmp_path / "openlab" / "output" / "VAE_Validation_and_Thresholding"
+         / "artifacts" / "vae_threshold.json").read_text())
+    assert thr["threshold"] > 0
