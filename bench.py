@@ -17,8 +17,10 @@ readings).
 
 Prints ONE JSON line. Required keys: {"metric", "value", "unit",
 "vs_baseline"}; extra keys carry FLOP accounting: "flops_per_window", "mfu"
-(end-to-end, vs v5e bf16 peak), and "device_side_windows_per_sec"/"device_mfu"
-(4x workload, remote-dispatch floor amortized — ROADMAP item 3).
+(end-to-end, vs v5e bf16 peak), "device_side_windows_per_sec"/"device_mfu"
+(4x workload, remote-dispatch floor amortized — ROADMAP item 3), and
+"mingru_device_side_windows_per_sec" (the opt-in non-parity minGRU preset's
+fused kernel on the same workload; None when its artifacts are absent).
 """
 
 from __future__ import annotations
@@ -171,6 +173,56 @@ def bench_jax(workload) -> dict:
     return {"end_to_end": e2e, "device_side": dev}
 
 
+def bench_mingru_device(W: np.ndarray, repeats: int = 5):
+    """Device-side rate of the opt-in minGRU preset (fused Pallas kernel,
+    ops/fused_mingru.py) on the same 4x workload, loaded from the committed
+    data/4dof_mingru artifacts. SECONDARY metric only — the headline number
+    stays the reference-parity LSTM; quality parity of this preset is
+    measured in BENCHMARKS.md (accuracy 0.99395 vs 0.99367). Returns None
+    when the artifacts are absent."""
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent / "data" / "4dof_mingru"
+    if not (root / "models" / "temporal_vae.msgpack").exists():
+        return None
+    import jax
+    import jax.numpy as jnp
+
+    from shm_tpu.cli.stage4dof import Paths, _load_stats, _load_vae
+    from shm_tpu.config import Stage4DofConfig, replace
+    from shm_tpu.models import CNN4DOF
+    from shm_tpu.models.cnn import inference_conv_impl
+    from shm_tpu.pipeline import make_hybrid_fn
+    from shm_tpu.utils.checkpoint import load_params
+    from shm_tpu.utils.io import load_json
+
+    cfg = Stage4DofConfig()
+    cfg = replace(cfg, vae=replace(cfg.vae, cell="min_gru"))
+    paths = Paths(str(root))
+    mean, std = _load_stats(paths)
+    vae, vae_params = _load_vae(paths, cfg)
+    cnn = CNN4DOF(dropout=cfg.cnn.dropout, dtype=jnp.bfloat16,
+                  conv_impl=inference_conv_impl())
+    template = cnn.init({"params": jax.random.PRNGKey(0)},
+                        jnp.zeros((2, cfg.seq_len, cfg.num_features, 2)))
+    cnn_vars = load_params(template, paths.models / "cnn.msgpack")
+    thr = jnp.float32(
+        load_json(paths.processed / "vae_threshold.json")["threshold"])
+    vae_params = jax.device_put(vae_params)
+    cnn_vars = jax.device_put(cnn_vars)
+    fn = make_hybrid_fn(vae, cnn, use_fused_vae=True, fused_dtype=jnp.bfloat16)
+    meanj, stdj = jnp.asarray(mean), jnp.asarray(std)
+    Wd = jax.device_put(jnp.asarray(np.concatenate([W] * 4)))
+    out = fn(vae_params, cnn_vars, Wd, meanj, stdj, thr)   # compile
+    float(out.mse.sum())
+    t0 = time.perf_counter()
+    for _ in range(repeats):
+        out = fn(vae_params, cnn_vars, Wd, meanj, stdj, thr)
+        float(out.mse.sum())
+    dt = (time.perf_counter() - t0) / repeats
+    return Wd.shape[0] / dt
+
+
 def bench_torch_cpu(W: np.ndarray, n_sub: int = 1088) -> float:
     """Reference-faithful torch-CPU hybrid pass (the baseline denominator)."""
     import torch
@@ -272,6 +324,15 @@ def main() -> None:
             rates = bench_jax(workload)
     else:
         rates = bench_jax(workload)
+    mingru_dev = None
+    if trained:
+        try:
+            W_canon = np.asarray(workload[4])
+            reps = -(-N_WINDOWS // W_canon.shape[0])
+            mingru_dev = bench_mingru_device(
+                np.concatenate([W_canon] * reps)[:N_WINDOWS])
+        except Exception:
+            mingru_dev = None
     try:
         # strided subsample spanning the WHOLE set: preserves the
         # normal/sensor/structural mix (groups are concatenated, so a [:1088]
@@ -313,6 +374,10 @@ def main() -> None:
         "mfu": round(rates["end_to_end"] * fpw / V5E_BF16_PEAK_FLOPS, 4),
         "device_side_windows_per_sec": round(rates["device_side"], 2),
         "device_mfu": round(rates["device_side"] * fpw / V5E_BF16_PEAK_FLOPS, 4),
+        # opt-in minGRU preset (NON-parity model family, measured quality
+        # parity — BENCHMARKS.md); device-side, same 4x workload
+        "mingru_device_side_windows_per_sec": (
+            round(mingru_dev, 2) if mingru_dev is not None else None),
     }))
 
 
