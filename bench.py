@@ -332,6 +332,12 @@ def main() -> None:
             mingru_dev = bench_mingru_device(
                 np.concatenate([W_canon] * reps)[:N_WINDOWS])
         except Exception:
+            # the secondary metric must not sink the headline bench, but a
+            # REAL failure (kernel regression, artifact mismatch) must stay
+            # distinguishable from "artifacts absent" (None from the guard)
+            import traceback
+
+            traceback.print_exc()
             mingru_dev = None
     try:
         # strided subsample spanning the WHOLE set: preserves the

@@ -292,7 +292,17 @@ def cmd_train_vae(paths: Paths, cfg: Stage4DofConfig, epochs: int | None = None,
 
 
 def _load_vae(paths: Paths, cfg: Stage4DofConfig):
-    vae = vae_from_config(cfg.vae)
+    # the trainer records the recurrence family in its meta manifest; a
+    # mismatched cell cannot restore (min_gru carries [D,2H] w_ih and no
+    # w_hh where the LSTM has [D,4H]+w_hh), so detect it here — threshold/
+    # test-pipeline/serving all work without re-passing --cell
+    meta_path = paths.processed / "stage1_vae_train_meta.json"
+    vcfg = cfg.vae
+    if meta_path.exists():
+        cell = load_json(meta_path).get("cell", "lstm")
+        if cell != vcfg.cell:
+            vcfg = replace(vcfg, cell=cell)
+    vae = vae_from_config(vcfg)
     template = vae.init({"params": jax.random.PRNGKey(0)},
                         jnp.zeros((2, cfg.seq_len, cfg.num_features)))
     restored = load_params({"params": template["params"]},
@@ -634,11 +644,11 @@ def main(argv=None) -> None:
                          "trajectory matches single-device to reduction-order "
                          "tolerance)")
     ap.add_argument("--cell", choices=["lstm", "min_gru"], default="lstm",
-                    help="VAE recurrence family (stage-wide: train-vae, "
-                         "threshold, and test-pipeline must all use the same "
-                         "value). min_gru is the opt-in parallel-scan cell "
-                         "(models/minrnn.py) — faster on TPU, NOT the "
-                         "reference-parity model; see BENCHMARKS.md")
+                    help="VAE recurrence family for train-vae (recorded in "
+                         "the training meta; threshold/test-pipeline/serving "
+                         "auto-detect it from there). min_gru is the opt-in "
+                         "parallel-scan cell (models/minrnn.py) — faster on "
+                         "TPU, NOT the reference-parity model; BENCHMARKS.md")
     args = ap.parse_args(argv)
 
     cfg = Stage4DofConfig()

@@ -143,11 +143,13 @@ def _kernel(
     h_last = recur_store(g_ref, store=num_layers > 1)
 
     # ----- deeper encoder layers: chunk-batched projection from the stored
-    # hidden sequence (sigmoid folded in), carry-only recurrence -----
+    # hidden sequence (sigmoid folded in); every layer except the last must
+    # store its hidden sequence for the NEXT layer's projection (the read of
+    # h_ref completes inside project() before recur_store overwrites it) -----
     for l in range(1, num_layers):
         wl, bl = enc[l]
         project(wl, bl, h_ref, gate=True)
-        h_last = recur_store(g_ref, store=False)
+        h_last = recur_store(g_ref, store=l < num_layers - 1)
 
     # ----- LayerNorm + latent head (z = mu) + decoder init -----
     if use_layernorm:

@@ -115,17 +115,9 @@ class HybridScorer:
 
         cfg = cfg or Stage4DofConfig()
         paths = Paths(str(root))
-        # the trainer records the recurrence family in its meta manifest;
-        # artifacts trained with --cell min_gru must be served with the same
-        # cell (the param trees differ, so a mismatch would fail the restore
-        # below — this makes the right thing automatic instead)
-        meta_path = paths.processed / "stage1_vae_train_meta.json"
-        if meta_path.exists():
-            meta_cell = load_json(meta_path).get("cell", "lstm")
-            if meta_cell != cfg.vae.cell:
-                from shm_tpu.config import replace as _replace
-
-                cfg = _replace(cfg, vae=_replace(cfg.vae, cell=meta_cell))
+        # NOTE: artifacts trained with --cell min_gru load transparently —
+        # _load_vae reads the recurrence family from the training meta
+        # manifest (the param trees differ, so a mismatch could not restore)
         mean, std = _load_stats(paths)
         vae, vae_params = _load_vae(paths, cfg)
         from shm_tpu.models.cnn import inference_conv_impl
@@ -210,6 +202,11 @@ class HybridScorer:
                       batch_sizes: Optional[Sequence[int]] = None) -> None:
         """Pre-compile the series-scoring buckets for ``stride`` (same
         window-count bucket set as :meth:`warmup`)."""
+        if self.mesh is not None:
+            raise ValueError(
+                "mesh scorers windowize on the host and dispatch through the "
+                "windows path (score_series falls back to score()) — there "
+                "are no series programs to warm; call warmup() instead")
         if self.seq_len is None:
             raise ValueError("series scoring needs seq_len (see warmup())")
         D = int(self.mean.shape[-1])

@@ -16,7 +16,9 @@ Endpoints:
   built ON DEVICE (``HybridScorer.score_series``), so the request uploads
   ~seq_len/stride x fewer bytes (a 4DOF run: 48 KB vs 4.3 MB; measured
   1.44x lower p50 through the remote tunnel). Optional ``X-Stride: k``
-  header (default 1). Same response schema, one entry per window.
+  header (default 1; only strides warmed at startup via
+  ``--series-strides`` are accepted — an unwarmed stride would compile
+  inline for minutes). Same response schema, one entry per window.
 
   Request bodies, by Content-Type:
   - ``application/octet-stream``: raw little-endian float32 with an
@@ -63,7 +65,14 @@ class _Handler(BaseHTTPRequestHandler):
     ready = False
     warm_error = None           # str once the warmup thread has failed
     quiet = True
+    series_strides = frozenset({1})   # /score_series strides warmed at start
     protocol_version = "HTTP/1.1"
+    # idle keep-alive timeout: the server is single-threaded, so without it
+    # ONE client holding a persistent connection open (e.g. a pooling HTTP
+    # library between requests) would block every other request — including
+    # /healthz — until it disconnects. On timeout the stdlib handler closes
+    # the connection and serve_forever() returns to accept().
+    timeout = 30
 
     # ------------------------------------------------------------------
     def log_message(self, fmt, *args):            # silence default stderr spam
@@ -210,6 +219,14 @@ class _Handler(BaseHTTPRequestHandler):
             except (TypeError, ValueError):
                 self._err(400, "X-Stride header must be a positive int")
                 return
+            if stride not in self.series_strides:
+                # same policy as /score's T check: an unwarmed stride would
+                # compile a fresh program per bucket (30s-5min each) inline
+                # in the single-threaded request path
+                self._err(422, f"stride {stride} not warmed; this server "
+                               f"serves strides {sorted(self.series_strides)} "
+                               "(--series-strides at startup)")
+                return
             try:
                 out = self.scorer.score_series(x, stride=stride)
             except Exception as e:                # pragma: no cover - defense
@@ -236,7 +253,7 @@ class _Handler(BaseHTTPRequestHandler):
 
 def make_server(scorer, host: str = "127.0.0.1", port: int = 8787,
                 warmup: bool = True, warm_series: bool = False,
-                quiet: bool = True) -> HTTPServer:
+                series_strides=(1,), quiet: bool = True) -> HTTPServer:
     """Build an HTTP server bound to ``scorer``; warm it in the background.
 
     The socket binds immediately and ``serve_forever()`` can start right
@@ -251,7 +268,8 @@ def make_server(scorer, host: str = "127.0.0.1", port: int = 8787,
     """
     handler = type("BoundHandler", (_Handler,),
                    {"scorer": scorer, "ready": not warmup,
-                    "warm_error": None, "quiet": quiet})
+                    "warm_error": None, "quiet": quiet,
+                    "series_strides": frozenset(int(s) for s in series_strides)})
     srv = HTTPServer((host, port), handler)
     srv.warm_event = threading.Event()
     if warmup:
@@ -259,7 +277,8 @@ def make_server(scorer, host: str = "127.0.0.1", port: int = 8787,
             try:
                 scorer.warmup()
                 if warm_series and getattr(scorer, "mesh", None) is None:
-                    scorer.warmup_series()      # stride-1 /score_series buckets
+                    for s in sorted(handler.series_strides):
+                        scorer.warmup_series(stride=s)
                 handler.ready = True
             except Exception as e:            # surface via /healthz, not just
                 handler.warm_error = str(e)   # a stderr-only dead thread
@@ -288,6 +307,10 @@ def main(argv=None) -> None:
                     help="shard each request over the first N local devices")
     ap.add_argument("--no-warmup", action="store_true",
                     help="skip bucket pre-compilation (first requests compile)")
+    ap.add_argument("--series-strides", default="1",
+                    help="comma-separated strides /score_series accepts "
+                         "(each is warmed at startup; other strides get 422 "
+                         "instead of a multi-minute inline compile)")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args(argv)
 
@@ -301,9 +324,10 @@ def main(argv=None) -> None:
     scorer = HybridScorer.from_artifacts(args.root, **kw)
     print(f"[serve] loaded artifacts from {args.root}; "
           f"buckets={list(scorer.buckets())} T={scorer.seq_len}")
+    strides = tuple(int(s) for s in args.series_strides.split(","))
     srv = make_server(scorer, args.host, args.port,
                       warmup=not args.no_warmup, warm_series=True,
-                      quiet=not args.verbose)
+                      series_strides=strides, quiet=not args.verbose)
     print(f"[serve] listening on http://{args.host}:{args.port} "
           f"(healthz 503 until buckets compile)")
 

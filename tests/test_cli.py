@@ -85,6 +85,35 @@ def test_stage1dof_chain_mingru_cell(tmp_path):
     assert np.isfinite(r["rmse"]).all()
 
 
+def test_stage4dof_load_vae_autodetects_cell(tmp_path):
+    """threshold/test-pipeline/serving after `train-vae --cell min_gru` must
+    work WITHOUT re-passing --cell: _load_vae reads the recurrence family
+    from the training meta (a wrong cell cannot restore — param trees
+    differ), matching the stage1dof/openlab/serve loaders."""
+    import jax
+    import jax.numpy as jnp
+
+    from shm_tpu.cli.stage4dof import Paths, _load_vae
+    from shm_tpu.config import Stage4DofConfig, replace
+    from shm_tpu.models import vae_from_config
+    from shm_tpu.utils.checkpoint import save_params
+    from shm_tpu.utils.io import ensure_dir, save_json
+
+    cfg = Stage4DofConfig()
+    mg_vae = vae_from_config(replace(cfg.vae, cell="min_gru"))
+    params = mg_vae.init({"params": jax.random.PRNGKey(0)},
+                         jnp.zeros((2, cfg.seq_len, cfg.num_features)))["params"]
+    paths = Paths(str(tmp_path / "4dof"))
+    ensure_dir(paths.models)
+    ensure_dir(paths.processed)
+    save_params({"params": params}, paths.models / "temporal_vae.msgpack")
+    save_json({"cell": "min_gru"},
+              paths.processed / "stage1_vae_train_meta.json")
+
+    loaded, _ = _load_vae(paths, cfg)        # cfg still says lstm
+    assert loaded.cell == "min_gru"
+
+
 @slow
 def test_stage4dof_chain(tmp_path):
     from shm_tpu.cli import stage4dof

@@ -278,6 +278,24 @@ def test_fused_mingru_one_layer_no_layernorm():
     np.testing.assert_allclose(np.asarray(mse), mse_ref, atol=2e-6)
 
 
+def test_fused_mingru_three_layers_matches_flax():
+    """Depth generalization: each non-final encoder layer must STORE its
+    hidden sequence so the next layer projects from the right inputs (a
+    round-3 review caught layer >= 3 silently projecting from layer 0)."""
+    from shm_tpu.ops import fused_mingru_gate
+
+    model = TemporalVAE(input_dim=4, latent_dim=5, hidden_dim=16, num_layers=3,
+                        dropout=0.1, use_layernorm=True, cell="min_gru")
+    Z = jax.random.normal(jax.random.PRNGKey(5), (24, 18, 4))
+    params = model.init({"params": jax.random.PRNGKey(6)}, Z[:2])["params"]
+    recon, _, _ = model.apply({"params": params}, Z)
+    mse_ref = np.asarray(((Z - recon) ** 2).mean(axis=(1, 2)))
+    mse, _ = fused_mingru_gate(params, Z, dtype=jnp.float32, num_layers=3,
+                               use_layernorm=True, interpret=True,
+                               batch_tile=8, sigmoid_impl="exact")
+    np.testing.assert_allclose(np.asarray(mse), mse_ref, atol=2e-6)
+
+
 def test_fused_mingru_sigmoid_impls_close(kernel_setup):
     from shm_tpu.ops import fused_mingru_gate
 

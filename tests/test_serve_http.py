@@ -30,7 +30,8 @@ def server():
                           np.zeros(D, np.float32), np.ones(D, np.float32),
                           1.0, use_fused_vae=False, min_bucket=16,
                           max_batch=32, seq_len=T)
-    srv = make_server(scorer, port=0)            # ephemeral port
+    srv = make_server(scorer, port=0,            # ephemeral port
+                      series_strides=(1, 2))     # stride 2 used in tests
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
     base = f"http://127.0.0.1:{srv.server_address[1]}"
@@ -146,12 +147,17 @@ def test_score_series_endpoint_matches_scorer(server):
         data=json.dumps({"series": x.tolist()}).encode(),
         headers={"Content-Type": "application/json"}, method="POST")
     assert json.loads(body)["n"] == 26
-    # wrong feature count -> 422; bad stride -> 400
+    # wrong feature count -> 422; bad stride -> 400; unwarmed stride -> 422
+    # (an unwarmed stride would compile a fresh program per bucket inline
+    # in the single-threaded request path — minutes on the real platform)
     for hdrs, data in (
         ({"Content-Type": "application/octet-stream",
           "X-Shape": f"{T},{D + 1}"}, np.zeros((T, D + 1), np.float32).tobytes()),
         ({"Content-Type": "application/octet-stream",
           "X-Shape": f"{T},{D}", "X-Stride": "0"},
+         np.zeros((T, D), np.float32).tobytes()),
+        ({"Content-Type": "application/octet-stream",
+          "X-Shape": f"{T},{D}", "X-Stride": "3"},
          np.zeros((T, D), np.float32).tobytes()),
     ):
         with pytest.raises(urllib.error.HTTPError) as ei:
