@@ -31,9 +31,20 @@ from shm_tpu.models.vae import vae_loss
 
 
 def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
-    """1-D device mesh over the first ``n_devices`` devices (default: all)."""
+    """1-D device mesh over the first ``n_devices`` devices (default: all).
+
+    Raises when more devices are requested than exist — silently truncating
+    would train on fewer chips than the user asked for with only an
+    easily-missed log line as the signal.
+    """
     devs = jax.devices()
     n = n_devices or len(devs)
+    if n > len(devs):
+        raise ValueError(
+            f"requested a {n}-device mesh but only {len(devs)} JAX device(s) "
+            f"are available on this host (platform "
+            f"{devs[0].platform if devs else 'none'}); for a virtual CPU mesh "
+            "set XLA_FLAGS=--xla_force_host_platform_device_count=N")
     return Mesh(np.array(devs[:n]), (axis,))
 
 

@@ -39,6 +39,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from shm_tpu.data.windows import make_windows
 from shm_tpu.pipeline import make_hybrid_fn
 
 
@@ -186,8 +187,6 @@ class HybridScorer:
         request-latency floor on remote-attached TPUs."""
         fn = self._series_fns.get(stride)
         if fn is None:
-            from shm_tpu.data.windows import make_windows
-
             T, inner = self.seq_len, self._fn
 
             @jax.jit
@@ -245,7 +244,9 @@ class HybridScorer:
             return {k: np.zeros((0,), np.float32) for k in
                     ("mse", "anomalous", "y_pred", "p_struct")}
         if self.mesh is not None:
-            W = x[(np.arange(n) * stride)[:, None] + np.arange(T)[None, :]]
+            # same windowing helper as the jitted series program below —
+            # hand-rolled indexing here could silently diverge from it
+            W = np.asarray(make_windows(jnp.asarray(x), T, stride))
             return self.score(W)
 
         fn = self._series_fn(stride)

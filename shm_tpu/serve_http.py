@@ -50,6 +50,7 @@ from __future__ import annotations
 import argparse
 import io
 import json
+import math
 import threading
 from http.server import BaseHTTPRequestHandler, HTTPServer
 from typing import Optional
@@ -154,7 +155,9 @@ class _Handler(BaseHTTPRequestHandler):
                 self._err(400, f"X-Shape header must be '{shape_desc}' "
                                "non-negative ints")
                 return None
-            expect = int(np.prod(shape)) * 4
+            # Python-int product: np.prod would wrap at 2**64, letting a
+            # crafted huge shape pass the size check and crash reshape()
+            expect = math.prod(shape) * 4
             if len(body) != expect:
                 self._err(400, f"body is {len(body)} bytes; shape {shape} "
                                f"needs {expect}")
@@ -252,9 +255,17 @@ class _Handler(BaseHTTPRequestHandler):
 
 
 def make_server(scorer, host: str = "127.0.0.1", port: int = 8787,
-                warmup: bool = True, warm_series: bool = False,
-                series_strides=(1,), quiet: bool = True) -> HTTPServer:
+                warmup: bool = True, series_strides=(1,),
+                quiet: bool = True) -> HTTPServer:
     """Build an HTTP server bound to ``scorer``; warm it in the background.
+
+    ``series_strides`` are the X-Stride values ``/score_series`` accepts;
+    every accepted stride is warmed during startup (acceptance implies
+    warmed — an accepted-but-cold stride would compile inline for minutes
+    in the single-threaded request path). Mesh scorers skip the series
+    warmup: their ``score_series`` windowizes on the host and dispatches
+    through the (warmed) windows path. With ``warmup=False`` the caller
+    explicitly opted into inline compiles for all endpoints.
 
     The socket binds immediately and ``serve_forever()`` can start right
     away: ``/healthz`` answers 503 (and ``/score`` refuses) until the
@@ -276,7 +287,7 @@ def make_server(scorer, host: str = "127.0.0.1", port: int = 8787,
         def _warm():
             try:
                 scorer.warmup()
-                if warm_series and getattr(scorer, "mesh", None) is None:
+                if getattr(scorer, "mesh", None) is None:
                     for s in sorted(handler.series_strides):
                         scorer.warmup_series(stride=s)
                 handler.ready = True
@@ -326,7 +337,7 @@ def main(argv=None) -> None:
           f"buckets={list(scorer.buckets())} T={scorer.seq_len}")
     strides = tuple(int(s) for s in args.series_strides.split(","))
     srv = make_server(scorer, args.host, args.port,
-                      warmup=not args.no_warmup, warm_series=True,
+                      warmup=not args.no_warmup,
                       series_strides=strides, quiet=not args.verbose)
     print(f"[serve] listening on http://{args.host}:{args.port} "
           f"(healthz 503 until buckets compile)")

@@ -50,6 +50,15 @@ def test_shardmap_hybrid_fused_pallas_inner(setup):
                                   np.asarray(single.y_pred))
 
 
+def test_make_mesh_rejects_overrequest():
+    """Requesting more devices than exist must raise, not silently truncate —
+    `--devices 8` on a 1-chip host would otherwise train single-device while
+    the user believes they measured 8-way DP."""
+    n = len(jax.devices())
+    with pytest.raises(ValueError, match="available"):
+        make_mesh(n + 1)
+
+
 def test_replicate_places_on_all_devices(setup):
     vae, cnn, vp, *_ = setup
     mesh = make_mesh(8)

