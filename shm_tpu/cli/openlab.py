@@ -308,6 +308,17 @@ def _sf_st_split_data(Xr, meta, split, split_name: str):
     return Xr[keep], y
 
 
+def _tune_st_first(cfg: OpenLabConfig, p_st: np.ndarray, y: np.ndarray) -> Dict:
+    """ST-first VAL threshold tuning with this stage's cfg-pinned grid and
+    precision floor — the ONE policy shared by the CNN trainer/validator and
+    every ML baseline (reference: Codes/06_train_cnn.py:239-324, duplicated
+    at 07_validate_cnn.py:149-229 and 08_train_ml_baselines.py:145-230)."""
+    return tune_threshold_st_first(
+        p_st, y, p_min_st=cfg.st_precision_floor, beta_for_f2_st=2.0,
+        grid_points=cfg.threshold_grid_points,
+        grid_lo=cfg.threshold_grid_lo, grid_hi=cfg.threshold_grid_hi)
+
+
 def cmd_train_cnn(paths: Paths, cfg: OpenLabConfig, epochs: Optional[int] = None,
                   quality: bool = False, n_seeds: int = 3,
                   devices: Optional[int] = None) -> None:
@@ -355,11 +366,7 @@ def cmd_train_cnn(paths: Paths, cfg: OpenLabConfig, epochs: Optional[int] = None
     weights = np.where(ytr == 0, alpha[0], alpha[1])
 
     def st_f2_metric(probs: np.ndarray, y_true: np.ndarray) -> float:
-        tuned = tune_threshold_st_first(
-            probs[:, 1], y_true, p_min_st=cfg.st_precision_floor,
-            beta_for_f2_st=2.0, grid_points=cfg.threshold_grid_points,
-            grid_lo=cfg.threshold_grid_lo, grid_hi=cfg.threshold_grid_hi)
-        return tuned["f2_st"]
+        return _tune_st_first(cfg, probs[:, 1], y_true)["f2_st"]
 
     tcfg = cfg.cnn_train if epochs is None else replace(cfg.cnn_train, epochs=epochs)
     tcfg = replace(tcfg, batch_size=128)  # 06_train_cnn.py:52
@@ -394,12 +401,7 @@ def cmd_train_cnn(paths: Paths, cfg: OpenLabConfig, epochs: Optional[int] = None
 
     save_params(res.variables, art / "cnn_model_openlab.msgpack")
     probs = predict_probs(model, res.variables, Xva_s)
-    tuned = tune_threshold_st_first(probs[:, 1], yva,
-                                    p_min_st=cfg.st_precision_floor,
-                                    beta_for_f2_st=2.0,
-                                    grid_points=cfg.threshold_grid_points,
-                                    grid_lo=cfg.threshold_grid_lo,
-                                    grid_hi=cfg.threshold_grid_hi)
+    tuned = _tune_st_first(cfg, probs[:, 1], yva)
     info = {
         "best_epoch": res.best_epoch, "stopped_epoch": res.stopped_epoch,
         "best_st_f2": res.best_metric, "val": tuned,
@@ -448,11 +450,7 @@ def cmd_validate_cnn(paths: Paths, cfg: OpenLabConfig, split_name: str = "val") 
     p_st = probs[:, 1]
 
     if split_name == "val":
-        tuned = tune_threshold_st_first(p_st, y, p_min_st=cfg.st_precision_floor,
-                                        beta_for_f2_st=2.0,
-                                        grid_points=cfg.threshold_grid_points,
-                                    grid_lo=cfg.threshold_grid_lo,
-                                    grid_hi=cfg.threshold_grid_hi)
+        tuned = _tune_st_first(cfg, p_st, y)
         thr = tuned["t"]
         save_npy(np.array([thr], np.float32), art / "cnn_best_threshold.npy")
         extra = {"tuning": tuned}
@@ -522,11 +520,7 @@ def cmd_train_ml(paths: Paths, cfg: OpenLabConfig,
         try:
             model.fit(Xtr, ytr)
             p_va = get_prob_st(model, Xva)
-            tuned = tune_threshold_st_first(
-                p_va, yva, p_min_st=cfg.st_precision_floor, beta_for_f2_st=2.0,
-                grid_points=cfg.threshold_grid_points,
-                                    grid_lo=cfg.threshold_grid_lo,
-                                    grid_hi=cfg.threshold_grid_hi)
+            tuned = _tune_st_first(cfg, p_va, yva)
             joblib.dump(model, art / f"{name}.joblib")
             save_npy(np.array([tuned["t"]], np.float32), art / f"{name}_threshold.npy")
             row = {"name": name, "status": "ok", "seconds": time.perf_counter() - t0,
@@ -558,11 +552,7 @@ def cmd_validate_ml(paths: Paths, cfg: OpenLabConfig, split_name: str = "val") -
         model = joblib.load(mp)
         p_st = get_prob_st(model, Xe)
         if split_name == "val":
-            tuned = tune_threshold_st_first(
-                p_st, ye, p_min_st=cfg.st_precision_floor, beta_for_f2_st=2.0,
-                grid_points=cfg.threshold_grid_points,
-                                    grid_lo=cfg.threshold_grid_lo,
-                                    grid_hi=cfg.threshold_grid_hi)
+            tuned = _tune_st_first(cfg, p_st, ye)
             thr = tuned["t"]
             save_npy(np.array([thr], np.float32), art / f"{name}_threshold.npy")
         else:
@@ -610,6 +600,22 @@ def cmd_test_hybrid(paths: Paths, cfg: OpenLabConfig, split_name: str = "test",
     Xce, Xre = Xc[emask], Xr[emask]
     y_true = meta.loc[emask, "label"].astype(str).to_numpy()
 
+    X_feat_all = np.load(paths.features / "X_feat.npy").astype(np.float32)
+    if len(X_feat_all) != len(meta):
+        # mirrors the reference's meta/tensor row-alignment hard-fail
+        # (10_test_hybrid_pipeline.py:330-331): a featurize run with
+        # drop_sensor_fault=True writes fewer rows than the extracted window
+        # set (aligned to meta_used.csv, which only _ml_data honors) — index-
+        # ing it with the full-meta mask would score the wrong feature rows.
+        # Checked BEFORE the gate pass so the failure costs no device time.
+        raise RuntimeError(
+            f"features/X_feat.npy has {len(X_feat_all)} rows but the "
+            f"extracted window set has {len(meta)}; it was probably written "
+            "by `featurize` with drop_sensor_fault=True — the hybrid "
+            "comparison scores every anomalous window, so re-run featurize "
+            "without dropping sensor-fault windows")
+    X_feat = X_feat_all[emask]
+
     # --- VAE gate on CLEAN channel-selected standardized windows ---
     model, params, mu, sd, manifest = _load_openlab_vae(paths, cfg)
     ch_idx = list(map(int, manifest["channels_idx"]))
@@ -627,7 +633,6 @@ def cmd_test_hybrid(paths: Paths, cfg: OpenLabConfig, split_name: str = "test",
     cnn_model, cnn_vars, cmu, csd = _load_openlab_cnn(paths, cfg)
     cnn_thr = float(np.load(paths.cnn_val_dir / "artifacts"
                             / "cnn_best_threshold.npy").ravel()[0])
-    X_feat = np.load(paths.features / "X_feat.npy").astype(np.float32)[emask]
 
     reports = ensure_dir(paths.hybrid_dir / "reports")
     cms: Dict[str, np.ndarray] = {}

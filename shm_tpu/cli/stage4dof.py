@@ -214,18 +214,28 @@ def cmd_make_splits(paths: Paths, cfg: Stage4DofConfig) -> None:
 # VAE training (03)
 # ---------------------------------------------------------------------------
 
-def build_fraction_windows(files: List[str], frac, cfg: Stage4DofConfig) -> np.ndarray:
-    """Per-run time-fraction slice BEFORE windowing (03_train_vae.py:164-174)."""
-    out = []
+def build_fraction_windows_multi(files: List[str], fracs,
+                                 cfg: Stage4DofConfig) -> List[np.ndarray]:
+    """Per-run time-fraction slices BEFORE windowing (03_train_vae.py:164-174)
+    for SEVERAL fractions with ONE CSV parse per run — host CSV parsing
+    dominates this step's wall time (utils/io.py), so callers needing both
+    the train and val fractions must not parse every file twice."""
+    outs: List[List[np.ndarray]] = [[] for _ in fracs]
     for fp in files:
         X = load_csv_numeric(fp, cfg.num_features)
-        Xs = slice_frac(X, frac)
-        W = make_windows(jnp.asarray(Xs), cfg.seq_len, cfg.stride)
-        if W.shape[0]:
-            out.append(np.asarray(W))
-    if not out:
-        return np.zeros((0, cfg.seq_len, cfg.num_features), np.float32)
-    return np.concatenate(out).astype(np.float32)
+        for out, frac in zip(outs, fracs):
+            Xs = slice_frac(X, frac)
+            W = make_windows(jnp.asarray(Xs), cfg.seq_len, cfg.stride)
+            if W.shape[0]:
+                out.append(np.asarray(W))
+    return [np.concatenate(o).astype(np.float32) if o else
+            np.zeros((0, cfg.seq_len, cfg.num_features), np.float32)
+            for o in outs]
+
+
+def build_fraction_windows(files: List[str], frac, cfg: Stage4DofConfig) -> np.ndarray:
+    """Single-fraction convenience wrapper over build_fraction_windows_multi."""
+    return build_fraction_windows_multi(files, (frac,), cfg)[0]
 
 
 def cmd_train_vae(paths: Paths, cfg: Stage4DofConfig, epochs: int | None = None,
@@ -234,8 +244,8 @@ def cmd_train_vae(paths: Paths, cfg: Stage4DofConfig, epochs: int | None = None,
     splits = load_json(paths.run_splits)
     normal_files = splits["normal"]["files"]
 
-    Wtr = build_fraction_windows(normal_files, cfg.train_frac, cfg)
-    Wva = build_fraction_windows(normal_files, cfg.val_frac, cfg)
+    Wtr, Wva = build_fraction_windows_multi(
+        normal_files, (cfg.train_frac, cfg.val_frac), cfg)
     print(f"[INFO] normal windows train/val = {Wtr.shape[0]}/{Wva.shape[0]}")
     if not Wtr.shape[0] or not Wva.shape[0]:
         raise RuntimeError("No normal train/val windows. Run gen-normal + make-splits.")

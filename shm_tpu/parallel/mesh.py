@@ -188,5 +188,7 @@ __all__ = [
     "shard_batch",
     "replicate",
     "make_dp_vae_train_step",
+    "make_dp_cnn_train_step",
     "make_dp_hybrid_fn",
+    "make_dp_hybrid_shardmap",
 ]

@@ -187,10 +187,23 @@ def run_hybrid_batched(
     outs = []
     for i in range(nb):
         k = None if key is None else jax.random.fold_in(key, i)
-        outs.append(hybrid_fn(vae_params, cnn_variables,
-                              jnp.asarray(Wp[i * bs:(i + 1) * bs]), mean, std, thr,
-                              key=k))
-    cat = lambda f: np.concatenate([np.asarray(f(o)) for o in outs])[:N]
+        o = hybrid_fn(vae_params, cnn_variables,
+                      jnp.asarray(Wp[i * bs:(i + 1) * bs]), mean, std, thr,
+                      key=k)
+        outs.append((o, bs if i < nb - 1 else bs - pad))
+    return concat_hybrid_outputs(outs)
+
+
+def concat_hybrid_outputs(outs) -> Dict[str, np.ndarray]:
+    """Concatenate per-dispatch ``HybridOutputs`` into host arrays, trimming
+    each dispatch to its un-padded window count.
+
+    ``outs`` is a sequence of ``(HybridOutputs, n_real_windows)`` pairs. The
+    ONE epilogue shared by every padded-batch driver (``run_hybrid_batched``,
+    ``HybridScorer.score``/``score_series``) so the output key set and the
+    trim policy cannot drift between them.
+    """
+    cat = lambda f: np.concatenate([np.asarray(f(o))[:n] for o, n in outs])
     return {
         "mse": cat(lambda o: o.mse),
         "anomalous": cat(lambda o: o.anomalous),
@@ -199,4 +212,5 @@ def run_hybrid_batched(
     }
 
 
-__all__ = ["HybridOutputs", "make_hybrid_fn", "run_hybrid_batched"]
+__all__ = ["HybridOutputs", "make_hybrid_fn", "run_hybrid_batched",
+           "concat_hybrid_outputs"]

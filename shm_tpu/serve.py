@@ -40,7 +40,7 @@ import jax
 import jax.numpy as jnp
 
 from shm_tpu.data.windows import make_windows
-from shm_tpu.pipeline import make_hybrid_fn
+from shm_tpu.pipeline import concat_hybrid_outputs, make_hybrid_fn
 
 
 class HybridScorer:
@@ -263,15 +263,7 @@ class HybridScorer:
                    self.mean, self.std, self.threshold)
             outs.append((o, m))
             i += m
-
-        cat = lambda f: np.concatenate(
-            [np.asarray(f(o))[:k] for o, k in outs])
-        return {
-            "mse": cat(lambda o: o.mse),
-            "anomalous": cat(lambda o: o.anomalous),
-            "y_pred": cat(lambda o: o.y_pred),
-            "p_struct": cat(lambda o: o.p_struct),
-        }
+        return concat_hybrid_outputs(outs)
 
     # ------------------------------------------------------------------
     def score(self, W: np.ndarray) -> Dict[str, np.ndarray]:
@@ -298,15 +290,7 @@ class HybridScorer:
                          self.mean, self.std, self.threshold)
             outs.append((o, n))
             i += n
-
-        cat = lambda f: np.concatenate(
-            [np.asarray(f(o))[:n] for o, n in outs])
-        return {
-            "mse": cat(lambda o: o.mse),
-            "anomalous": cat(lambda o: o.anomalous),
-            "y_pred": cat(lambda o: o.y_pred),
-            "p_struct": cat(lambda o: o.p_struct),
-        }
+        return concat_hybrid_outputs(outs)
 
 
 __all__ = ["HybridScorer"]

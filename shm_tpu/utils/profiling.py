@@ -3,9 +3,10 @@
 The reference has no profiling at all (SURVEY.md §5: only progress prints).
 Throughput is this framework's north-star metric, so it ships:
 
-- ``Timer`` / ``timed``: wall-clock spans with optional device sync via a
-  host readback (NOTE: on the tunneled TPU platform ``block_until_ready``
-  returns before execution completes, so honest timing fetches a scalar).
+- ``Timer`` / ``timed``: wall-clock spans; set ``.result`` on the yielded
+  holder to force-complete a device value before the clock stops (NOTE: on
+  the tunneled TPU platform ``block_until_ready`` returns before execution
+  completes, so honest timing fetches a scalar).
 - ``throughput``: windows/sec accounting helper.
 - ``trace``: context manager around ``jax.profiler.trace`` writing a TensorBoard
   -loadable trace directory (set ``SHM_TPU_TRACE_DIR`` or pass a path).
@@ -38,13 +39,20 @@ class Timer:
     counts: Dict[str, int] = field(default_factory=dict)
 
     @contextlib.contextmanager
-    def span(self, name: str, sync_value=None):
+    def span(self, name: str):
+        """``with t.span("gate") as s: s.result = fn(x)`` — ``s.result`` is
+        force-completed (host readback) before the clock stops, so device
+        work launched INSIDE the block is included in the span. (A value
+        passed at context entry could not do this: it would already exist
+        before the block ran, and the async work dispatched inside would
+        still be in flight when the span closed.)"""
+        h = _SyncHolder()
         t0 = time.perf_counter()
         try:
-            yield
+            yield h
         finally:
-            if sync_value is not None:
-                sync(sync_value)
+            if h.result is not None:
+                sync(h.result)
             dt = time.perf_counter() - t0
             self.spans[name] = self.spans.get(name, 0.0) + dt
             self.counts[name] = self.counts.get(name, 0) + 1
@@ -55,15 +63,27 @@ class Timer:
                 for k, v in self.spans.items()}
 
 
+class _SyncHolder:
+    """Set ``.result`` inside a ``span``/``timed`` block to have it synced
+    (one-element host readback) before the elapsed time is recorded."""
+
+    result = None
+
+
 @contextlib.contextmanager
-def timed(name: str = "", result=None):
-    """print-style one-shot timer: ``with timed("gate", out): ...``"""
+def timed(name: str = ""):
+    """print-style one-shot timer: ``with timed("gate") as t: t.result = fn(x)``
+    — ``t.result`` is force-completed before the elapsed time prints (see
+    :meth:`Timer.span` for why the value must be produced inside the block)."""
+    h = _SyncHolder()
     t0 = time.perf_counter()
-    yield
-    if result is not None:
-        sync(result)
-    dt = time.perf_counter() - t0
-    print(f"[time] {name}: {dt * 1e3:.1f} ms")
+    try:
+        yield h
+    finally:
+        if h.result is not None:
+            sync(h.result)
+        dt = time.perf_counter() - t0
+        print(f"[time] {name}: {dt * 1e3:.1f} ms")
 
 
 def throughput(n_items: int, seconds: float, unit: str = "windows") -> Dict[str, float]:

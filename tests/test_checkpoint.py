@@ -71,3 +71,17 @@ def test_timer_and_throughput():
     assert rep["a"]["calls"] == 2 and rep["a"]["seconds"] > 0
     th = throughput(5440, 0.035)
     assert th["windows_per_sec"] == pytest.approx(5440 / 0.035)
+
+
+def test_timer_span_syncs_result_set_inside_block():
+    """Device work launched INSIDE the span must be force-completed before
+    the clock stops: the span yields a holder whose .result is synced at
+    exit (a value passed at context ENTRY could not capture in-block work —
+    the dispatch-only-milliseconds trap on async backends)."""
+    import jax.numpy as jnp
+
+    t = Timer()
+    with t.span("gate") as s:
+        s.result = jnp.arange(4096.0).sum()      # async dispatch
+    assert t.report()["gate"]["seconds"] > 0
+    assert float(s.result) == pytest.approx(4096 * 4095 / 2)

@@ -114,6 +114,36 @@ def test_stage4dof_load_vae_autodetects_cell(tmp_path):
     assert loaded.cell == "min_gru"
 
 
+def test_openlab_test_hybrid_rejects_misaligned_features(tmp_path):
+    """`featurize --drop-sensor-fault` writes X_feat.npy with FEWER rows than
+    the extracted window set (aligned to meta_used.csv); test-hybrid indexes
+    features with the full-meta mask, so a mismatch must hard-fail with an
+    actionable message BEFORE any device work — not IndexError mid-run or
+    silent wrong-row scoring (reference alignment guard:
+    10_test_hybrid_pipeline.py:330-331)."""
+    import pandas as pd
+
+    from shm_tpu.cli.openlab import Paths, cmd_test_hybrid
+    from shm_tpu.config import OpenLabConfig
+    from shm_tpu.utils.io import ensure_dir, save_json, save_npy
+
+    paths = Paths(str(tmp_path / "ol"), raw_dir="raw")
+    ensure_dir(paths.extracted)
+    ensure_dir(paths.features)
+    N, T, D = 6, 8, 4
+    save_npy(np.zeros((N, T, D), np.float32), paths.extracted / "X_clean.npy")
+    save_npy(np.zeros((N, T, D), np.float32), paths.extracted / "X_raw.npy")
+    pd.DataFrame({"run_id": ["r1"] * N,
+                  "label": ["Normal"] * N}).to_csv(
+        paths.extracted / "window_labels.csv", index=False)
+    save_json({"test_runs": ["r1"]}, paths.extracted / "run_split.json")
+    save_npy(np.zeros((N - 2, 76), np.float32),       # 2 rows dropped
+             paths.features / "X_feat.npy")
+
+    with pytest.raises(RuntimeError, match="drop_sensor_fault"):
+        cmd_test_hybrid(paths, OpenLabConfig())
+
+
 @slow
 def test_stage4dof_chain(tmp_path):
     from shm_tpu.cli import stage4dof
