@@ -29,10 +29,18 @@ Endpoints:
     ``{"series": [[...]]}``) nested lists (convenient, slower), response
     JSON.
 
-The handler is intentionally single-threaded: the TPU executes one program at
-a time anyway, so queueing requests in the listener (the OS accept backlog)
-is the correct production behavior — no lock contention, no interleaved
-device programs, deterministic per-request latency. Run one process per chip.
+Two service modes:
+
+- **Single-threaded (default)**: requests queue in the listener (the OS
+  accept backlog); no lock contention, no interleaved device programs,
+  deterministic per-request latency. Run one process per chip.
+- **Concurrent + dynamic batching (``--concurrent``)**: thread-per-connection
+  accept, with every ``/score`` request flowing through ONE
+  :class:`shm_tpu.serve_batch.DynamicBatcher` dispatcher thread that
+  coalesces requests arriving within ``--batch-window-ms`` into a single
+  bucket-padded device call (the TF-Serving/Triton batch-scheduler idiom).
+  k concurrent small requests cost ~one ~25 ms dispatch floor instead of k.
+  Outputs are bit-identical to the single-threaded mode per request.
 
 Example::
 
@@ -63,16 +71,18 @@ MAX_BODY_BYTES = 1 << 30      # 1 GiB — a ~220k-window 4DOF request (4.8 KB ea
 class _Handler(BaseHTTPRequestHandler):
     # class attributes injected by make_server()
     scorer = None
+    score_fn = None             # DynamicBatcher.score, or None -> scorer.score
+    series_lock = None          # serializes /score_series device dispatch
     ready = False
     warm_error = None           # str once the warmup thread has failed
     quiet = True
     series_strides = frozenset({1})   # /score_series strides warmed at start
     protocol_version = "HTTP/1.1"
-    # idle keep-alive timeout: the server is single-threaded, so without it
-    # ONE client holding a persistent connection open (e.g. a pooling HTTP
-    # library between requests) would block every other request — including
-    # /healthz — until it disconnects. On timeout the stdlib handler closes
-    # the connection and serve_forever() returns to accept().
+    # idle keep-alive timeout: in single-threaded mode, without it ONE client
+    # holding a persistent connection open (e.g. a pooling HTTP library
+    # between requests) would block every other request — including /healthz
+    # — until it disconnects. On timeout the stdlib handler closes the
+    # connection and serve_forever() returns to accept().
     timeout = 30
 
     # ------------------------------------------------------------------
@@ -231,7 +241,10 @@ class _Handler(BaseHTTPRequestHandler):
                                "(--series-strides at startup)")
                 return
             try:
-                out = self.scorer.score_series(x, stride=stride)
+                # one lock for all series dispatch: in concurrent mode many
+                # connection threads exist, but device work stays serialized
+                with self.series_lock:
+                    out = self.scorer.score_series(x, stride=stride)
             except Exception as e:                # pragma: no cover - defense
                 self._err(500, f"scoring failed: {e}")
                 return
@@ -247,7 +260,7 @@ class _Handler(BaseHTTPRequestHandler):
                            "recompile every bucket")
             return
         try:
-            out = self.scorer.score(W)
+            out = (self.score_fn or self.scorer.score)(W)
         except Exception as e:                    # pragma: no cover - defense
             self._err(500, f"scoring failed: {e}")
             return
@@ -256,16 +269,22 @@ class _Handler(BaseHTTPRequestHandler):
 
 def make_server(scorer, host: str = "127.0.0.1", port: int = 8787,
                 warmup: bool = True, series_strides=(1,),
+                concurrent: bool = False, batch_window_ms: float = 2.0,
                 quiet: bool = True) -> HTTPServer:
     """Build an HTTP server bound to ``scorer``; warm it in the background.
 
     ``series_strides`` are the X-Stride values ``/score_series`` accepts;
     every accepted stride is warmed during startup (acceptance implies
     warmed — an accepted-but-cold stride would compile inline for minutes
-    in the single-threaded request path). Mesh scorers skip the series
-    warmup: their ``score_series`` windowizes on the host and dispatches
-    through the (warmed) windows path. With ``warmup=False`` the caller
-    explicitly opted into inline compiles for all endpoints.
+    in the request path). Mesh scorers skip the series warmup: their
+    ``score_series`` windowizes on the host and dispatches through the
+    (warmed) windows path. With ``warmup=False`` the caller explicitly
+    opted into inline compiles for all endpoints.
+
+    ``concurrent=True`` switches to thread-per-connection accept with all
+    ``/score`` traffic coalesced by a :class:`~shm_tpu.serve_batch
+    .DynamicBatcher` (window ``batch_window_ms``); the batcher is exposed
+    as ``srv.batcher`` — call ``srv.batcher.close()`` after ``shutdown()``.
 
     The socket binds immediately and ``serve_forever()`` can start right
     away: ``/healthz`` answers 503 (and ``/score`` refuses) until the
@@ -277,11 +296,24 @@ def make_server(scorer, host: str = "127.0.0.1", port: int = 8787,
     check ``srv.RequestHandlerClass.warm_error`` (surfaced as 500s on
     /healthz and /score) after waiting.
     """
+    batcher = None
+    score_fn = None              # None -> handler falls back to scorer.score
+    server_cls = HTTPServer
+    if concurrent:
+        from http.server import ThreadingHTTPServer
+
+        from shm_tpu.serve_batch import DynamicBatcher
+
+        batcher = DynamicBatcher(scorer, max_delay_ms=batch_window_ms)
+        score_fn = batcher.score
+        server_cls = ThreadingHTTPServer
     handler = type("BoundHandler", (_Handler,),
                    {"scorer": scorer, "ready": not warmup,
+                    "score_fn": score_fn, "series_lock": threading.Lock(),
                     "warm_error": None, "quiet": quiet,
                     "series_strides": frozenset(int(s) for s in series_strides)})
-    srv = HTTPServer((host, port), handler)
+    srv = server_cls((host, port), handler)
+    srv.batcher = batcher
     srv.warm_event = threading.Event()
     if warmup:
         def _warm():
@@ -322,6 +354,13 @@ def main(argv=None) -> None:
                     help="comma-separated strides /score_series accepts "
                          "(each is warmed at startup; other strides get 422 "
                          "instead of a multi-minute inline compile)")
+    ap.add_argument("--concurrent", action="store_true",
+                    help="thread-per-connection accept + dynamic batching: "
+                         "/score requests arriving within the batch window "
+                         "coalesce into one device dispatch")
+    ap.add_argument("--batch-window-ms", type=float, default=2.0,
+                    help="max time a /score request waits for co-traveling "
+                         "requests in --concurrent mode (default 2 ms)")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args(argv)
 
@@ -335,10 +374,20 @@ def main(argv=None) -> None:
     scorer = HybridScorer.from_artifacts(args.root, **kw)
     print(f"[serve] loaded artifacts from {args.root}; "
           f"buckets={list(scorer.buckets())} T={scorer.seq_len}")
-    strides = tuple(int(s) for s in args.series_strides.split(","))
+    try:
+        strides = tuple(int(s) for s in args.series_strides.split(",")
+                        if s.strip())
+        if any(s < 1 for s in strides):
+            raise ValueError
+    except ValueError:
+        ap.error(f"--series-strides must be comma-separated positive ints "
+                 f"(or '' to disable /score_series), got "
+                 f"{args.series_strides!r}")
     srv = make_server(scorer, args.host, args.port,
                       warmup=not args.no_warmup,
-                      series_strides=strides, quiet=not args.verbose)
+                      series_strides=strides, concurrent=args.concurrent,
+                      batch_window_ms=args.batch_window_ms,
+                      quiet=not args.verbose)
     print(f"[serve] listening on http://{args.host}:{args.port} "
           f"(healthz 503 until buckets compile)")
 
@@ -356,6 +405,9 @@ def main(argv=None) -> None:
     except KeyboardInterrupt:
         print("[serve] shutting down")
         srv.shutdown()
+    finally:
+        if srv.batcher is not None:
+            srv.batcher.close()
 
 
 __all__ = ["make_server", "main"]
