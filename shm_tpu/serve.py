@@ -293,4 +293,76 @@ class HybridScorer:
         return concat_hybrid_outputs(outs)
 
 
-__all__ = ["HybridScorer"]
+class StreamScorer:
+    """Stateful incremental scoring of a continuous sensor stream.
+
+    The deployment shape of structural monitoring: sensors deliver samples
+    continuously and each sliding window must be scored as soon as its last
+    sample arrives. ``push(samples)`` buffers on the host, scores every
+    newly-complete window through the wrapped scorer's warmed programs
+    (``score_series`` — on-device windowizing on the same compiled bucket
+    set), and retains only the sample tail the next window still needs, so
+    memory stays O(seq_len) regardless of stream length.
+
+    Outputs carry ``window_start`` — the global sample index each window
+    begins at — so downstream alerting can localize an anomaly in stream
+    time. Feeding a series chunk-by-chunk produces EXACTLY the outputs of
+    ``score_series`` on the whole series (pinned in tests/test_serve.py),
+    independent of how the stream is chunked.
+
+    The reference has no streaming path (every evaluation script scores a
+    complete file after the fact — e.g. 4DOF/Scripts/06_test_full_pipeline
+    .py:276-314); this subsystem is deployment-native by design.
+    """
+
+    def __init__(self, scorer: HybridScorer, stride: int = 1):
+        if scorer.seq_len is None:
+            raise ValueError("streaming needs seq_len: construct the scorer "
+                             "with seq_len= or use from_artifacts()")
+        if stride < 1:
+            raise ValueError(f"stride must be >= 1, got {stride}")
+        self.scorer = scorer
+        self.stride = int(stride)
+        self._D = int(np.asarray(scorer.mean).shape[-1])
+        # invariant: _buf[0] is the start sample of the NEXT unscored window
+        self._buf = np.zeros((0, self._D), np.float32)
+        self._next_start = 0          # global index of that window start
+
+    @property
+    def buffered_samples(self) -> int:
+        return int(self._buf.shape[0])
+
+    def push(self, x: np.ndarray) -> Dict[str, np.ndarray]:
+        """Feed ``(n, D)`` new samples; score every window they complete.
+
+        Returns the usual output arrays plus ``window_start``; all arrays
+        are empty until a window completes.
+        """
+        x = np.asarray(x, np.float32)
+        if x.ndim != 2 or x.shape[1] != self._D:
+            raise ValueError(f"expected (n, {self._D}) samples, "
+                             f"got {x.shape}")
+        self._buf = np.concatenate([self._buf, x]) if x.shape[0] else self._buf
+        T, s = self.scorer.seq_len, self.stride
+        L = self._buf.shape[0]
+        n = (L - T) // s + 1 if L >= T else 0
+        starts = self._next_start + s * np.arange(n)
+        if n == 0:
+            out = {k: np.zeros((0,), np.float32)
+                   for k in ("mse", "anomalous", "y_pred", "p_struct")}
+        else:
+            out = self.scorer.score_series(self._buf[: (n - 1) * s + T],
+                                           stride=s)
+            consumed = n * s
+            self._buf = self._buf[consumed:]
+            self._next_start += consumed
+        out["window_start"] = starts
+        return out
+
+    def reset(self) -> None:
+        """Drop buffered samples and restart stream indexing at 0."""
+        self._buf = np.zeros((0, self._D), np.float32)
+        self._next_start = 0
+
+
+__all__ = ["HybridScorer", "StreamScorer"]

@@ -10,7 +10,7 @@ import pytest
 from shm_tpu.config import VAEConfig
 from shm_tpu.models import CNN4DOF, vae_from_config
 from shm_tpu.pipeline import make_hybrid_fn, run_hybrid_batched
-from shm_tpu.serve import HybridScorer
+from shm_tpu.serve import HybridScorer, StreamScorer
 
 REPO = Path(__file__).resolve().parents[1]
 
@@ -58,6 +58,74 @@ def test_bucket_padding_invariance(setup):
     tiny = scorer.score(W[:3])           # rides a 16-bucket with 13 pad rows
     np.testing.assert_allclose(tiny["mse"], full["mse"][:3], atol=1e-6)
     np.testing.assert_array_equal(tiny["y_pred"], full["y_pred"][:3])
+
+
+@pytest.mark.parametrize("stride,chunks", [
+    (1, (7, 1, 30, 4, 58)),        # ragged chunking, total 100 samples
+    (3, (25, 25, 25, 25)),
+])
+def test_stream_scorer_matches_score_series(setup, stride, chunks):
+    """Chunk-by-chunk streaming must produce EXACTLY the whole-series
+    outputs, with correct global window_start indices, independent of how
+    the stream is chunked."""
+    T = 20
+    scorer = _scorer(setup, min_bucket=16, max_batch=64, seq_len=T)
+    x = np.asarray(jax.random.normal(jax.random.PRNGKey(7), (sum(chunks), 4)),
+                   np.float32)
+    ref = scorer.score_series(x, stride=stride)
+
+    stream = StreamScorer(scorer, stride=stride)
+    got = {k: [] for k in ("mse", "anomalous", "y_pred", "p_struct",
+                           "window_start")}
+    i = 0
+    for c in chunks:
+        out = stream.push(x[i:i + c])
+        for k in got:
+            got[k].append(out[k])
+        i += c
+    got = {k: np.concatenate(v) for k, v in got.items()}
+    n_ref = len(ref["mse"])
+    assert len(got["mse"]) == n_ref
+    np.testing.assert_array_equal(
+        got["window_start"], stride * np.arange(n_ref))
+    # float outputs to bucket-invariance tolerance (streamed windows ride
+    # different padded buckets than the whole-series dispatch); decisions
+    # must match exactly
+    for k in ("mse", "p_struct"):
+        np.testing.assert_allclose(got[k], ref[k], atol=1e-6, err_msg=k)
+    for k in ("anomalous", "y_pred"):
+        np.testing.assert_array_equal(got[k], ref[k], err_msg=k)
+    # memory bound: only the tail the next window needs is retained
+    assert stream.buffered_samples < T
+
+
+def test_stream_scorer_edges(setup):
+    T = 20
+    scorer = _scorer(setup, min_bucket=16, max_batch=64, seq_len=T)
+    stream = StreamScorer(scorer, stride=2)
+    # no window complete yet -> empty outputs, nothing consumed
+    out = stream.push(np.zeros((T - 1, 4), np.float32))
+    assert out["mse"].shape == (0,) and out["window_start"].shape == (0,)
+    assert stream.buffered_samples == T - 1
+    # empty push is a no-op
+    out = stream.push(np.zeros((0, 4), np.float32))
+    assert out["mse"].shape == (0,)
+    # one more sample completes exactly one window at global start 0
+    out = stream.push(np.zeros((1, 4), np.float32))
+    assert out["mse"].shape == (1,)
+    np.testing.assert_array_equal(out["window_start"], [0])
+    # wrong feature count / bad stride / missing seq_len
+    with pytest.raises(ValueError, match="samples"):
+        stream.push(np.zeros((5, 3), np.float32))
+    with pytest.raises(ValueError, match="stride"):
+        StreamScorer(scorer, stride=0)
+    with pytest.raises(ValueError, match="seq_len"):
+        StreamScorer(_scorer(setup, min_bucket=16, max_batch=64))
+    # reset restarts global indexing
+    stream.reset()
+    assert stream.buffered_samples == 0
+    out = stream.push(np.zeros((T, 4), np.float32))
+    np.testing.assert_array_equal(out["window_start"], [0])
 
 
 def test_bucket_shapes(setup):
