@@ -790,7 +790,10 @@ def main(argv=None) -> None:
                     help="VAE recurrence family for train-vae (recorded in "
                          "the manifest; downstream commands auto-detect it). "
                          "min_gru is the opt-in parallel-scan cell — NOT the "
-                         "reference-parity model; see BENCHMARKS.md")
+                         "reference-parity model, and on THIS stage's real "
+                         "bridge data its gate measured weaker (struct TPR "
+                         "0.773 vs 0.858 at matched FPR; BENCHMARKS.md) — "
+                         "validate before deploying")
     args = ap.parse_args(argv)
 
     raw_dir = args.raw_dir or default_openlab_raw_dir()
