@@ -458,6 +458,12 @@ def train_vae(
                 best_epoch = meta["best_epoch"]
                 start_epoch = meta["epoch"] + 1
                 print(f"[resume] restored epoch {meta['epoch']} from {ckpt_path}")
+            else:
+                # resume-if-exists semantics (first launch of a resumable job
+                # starts fresh) — but LOUDLY: training is seed-deterministic,
+                # so a silently-ignored missing checkpoint (path typo, format
+                # drift) would be indistinguishable from a working resume
+                print(f"[resume] no checkpoint at {ckpt_path}; starting fresh")
 
     t0 = time.perf_counter()
 

@@ -7,9 +7,16 @@ platform switch goes through jax.config (effective until first backend use).
 
 import os
 
-os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
-if "--xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
-    os.environ["XLA_FLAGS"] += " --xla_force_host_platform_device_count=8"
+_FLAG = "--xla_force_host_platform_device_count"
+_flags = os.environ.get("XLA_FLAGS", "")
+if _FLAG not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + f" {_FLAG}=8").strip()
+elif f"{_FLAG}=8" not in _flags:
+    # a pre-set different count would make every make_mesh(8) test fail with
+    # a confusing 'available devices' error — diagnose it here instead
+    raise RuntimeError(
+        f"XLA_FLAGS pins a virtual device count != 8; the suite needs 8 "
+        f"(got XLA_FLAGS={_flags!r})")
 
 import jax  # noqa: E402
 
@@ -18,8 +25,11 @@ jax.config.update("jax_platforms", "cpu")
 import pytest  # noqa: E402
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    """Function-scoped so every test draws the SAME stream whether it runs in
+    isolation, in the full suite, or under xdist — a session-scoped shared
+    generator made data-dependent failures unreproducible in isolation."""
     import numpy as np
 
     return np.random.default_rng(0)

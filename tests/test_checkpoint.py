@@ -33,7 +33,7 @@ def test_params_checkpoint_roundtrip(tmp_path, windows):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
-def test_train_resume_is_exact(tmp_path, windows):
+def test_train_resume_is_exact(tmp_path, windows, capsys):
     """Interrupted-then-resumed training produces the identical result as an
     uninterrupted run (full state incl. optimizer moments and PRNG persists)."""
     model = vae_from_config(VAEConfig(4, 3, 16, 1, 0.0))
@@ -50,8 +50,14 @@ def test_train_resume_is_exact(tmp_path, windows):
                                  weight_decay=1e-5, grad_clip=2.0, seed=0),
                      checkpoint_dir=str(d1), checkpoint_every=1)
     # phase 2: resume to epoch 6
+    capsys.readouterr()
     res = train_vae(model, W, W[:32], cfg, checkpoint_dir=str(d1),
                     checkpoint_every=1, resume=True)
+
+    # the equality asserts below CANNOT distinguish a working resume from a
+    # silent fresh restart (training is seed-deterministic, so both produce
+    # the identical result) — assert the restore actually happened
+    assert "[resume] restored epoch 3" in capsys.readouterr().out
 
     assert res.history["epoch"] == full.history["epoch"]
     np.testing.assert_allclose(res.history["train_total"],

@@ -55,10 +55,19 @@ def test_two_process_dp_step_matches_single_process():
         for rank in (0, 1)
     ]
     outs = []
-    for p in procs:
-        out, err = p.communicate(timeout=240)
-        assert p.returncode == 0, f"rank failed (rc={p.returncode}):\n{out}\n{err}"
-        outs.append(out)
+    try:
+        for p in procs:
+            out, err = p.communicate(timeout=240)
+            assert p.returncode == 0, \
+                f"rank failed (rc={p.returncode}):\n{out}\n{err}"
+            outs.append(out)
+    finally:
+        # a hung/failed rank must not leave orphaned jax.distributed workers
+        # holding the coordinator port past the test
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait(timeout=30)
     losses = [_parse_loss(o) for o in outs]
     assert losses[0] == losses[1], "processes disagree on the pmean'd loss"
 

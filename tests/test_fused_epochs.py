@@ -22,13 +22,15 @@ def test_fused_epochs_matches_loop():
     loop = train_vae(model, W, W[:32], cfg, fused_epochs=False)
     fused = train_vae(model, W, W[:32], cfg, fused_epochs=True)
 
-    np.testing.assert_allclose(loop.history["train_total"],
-                               fused.history["train_total"], rtol=1e-6)
-    np.testing.assert_allclose(loop.history["val_total"],
-                               fused.history["val_total"], rtol=1e-6)
+    # exact equality — the docstring claims bit-identity, so the test must
+    # be able to detect a ~1e-8 reassociation drift, not absorb it
+    np.testing.assert_array_equal(loop.history["train_total"],
+                                  fused.history["train_total"])
+    np.testing.assert_array_equal(loop.history["val_total"],
+                                  fused.history["val_total"])
     assert loop.best_epoch == fused.best_epoch
     for a, b in zip(jax.tree.leaves(loop.params), jax.tree.leaves(fused.params)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_epoch_chunks_bit_identical_to_whole_run():

@@ -61,16 +61,22 @@ def test_concurrent_requests_coalesce_and_split_correctly():
     each caller must get exactly its own slice."""
     sc = FakeScorer()
     b = DynamicBatcher(sc, max_delay_ms=200.0)     # wide window: force coalesce
-    results = {}
-    try:
-        def call(i):
-            results[i] = b.score(_windows(4, seed=i))
+    results, errs = {}, {}
+    barrier = threading.Barrier(8)                 # simultaneous arrival: the
+    try:                                           # coalescing must not depend
+        def call(i):                               # on thread-start skew
+            try:
+                barrier.wait(timeout=30)
+                results[i] = b.score(_windows(4, seed=i))
+            except Exception as e:                 # surface the cause, not a
+                errs[i] = repr(e)                  # bare count-mismatch assert
 
         threads = [threading.Thread(target=call, args=(i,)) for i in range(8)]
         for t in threads:
             t.start()
         for t in threads:
             t.join(timeout=30)
+        assert not errs, errs
         assert len(results) == 8
         # per-request correctness: mse is per-window mean, independent of
         # co-travelers
@@ -197,32 +203,37 @@ def test_http_concurrent_mode_end_to_end():
     t.start()
     base = f"http://127.0.0.1:{srv.server_address[1]}"
     assert srv.warm_event.wait(timeout=60)
-    results = {}
+    results, errs = {}, {}
+    barrier = threading.Barrier(6)
     try:
         def post(i):
-            W = _windows(4, seed=i)
-            r = urllib.request.Request(
-                base + "/score", data=W.tobytes(),
-                headers={"Content-Type": "application/octet-stream",
-                         "X-Shape": "4,10,3"}, method="POST")
-            with urllib.request.urlopen(r, timeout=30) as resp:
-                results[i] = json.loads(resp.read())
+            try:
+                W = _windows(4, seed=i)
+                r = urllib.request.Request(
+                    base + "/score", data=W.tobytes(),
+                    headers={"Content-Type": "application/octet-stream",
+                             "X-Shape": "4,10,3"}, method="POST")
+                barrier.wait(timeout=30)        # simultaneous request launch
+                with urllib.request.urlopen(r, timeout=60) as resp:
+                    results[i] = json.loads(resp.read())
+            except Exception as e:
+                errs[i] = repr(e)
 
         threads = [threading.Thread(target=post, args=(i,)) for i in range(6)]
-        start = time.perf_counter()
         for th in threads:
             th.start()
         for th in threads:
-            th.join(timeout=60)
-        elapsed = time.perf_counter() - start
+            th.join(timeout=90)
+        assert not errs, errs
         assert len(results) == 6
         for i, out in results.items():
             np.testing.assert_allclose(
                 out["mse"], _windows(4, seed=i).mean(axis=(1, 2)), rtol=1e-5)
         # coalescing across connections: fewer dispatches than requests
+        # (the coalescing count IS the non-serialization signal; a wall-clock
+        # bound here was load-flaky and added nothing)
         assert sc.calls < 6, f"no cross-connection coalescing ({sc.calls})"
-        # and NOT serialized 6x through the 100 ms window
-        assert elapsed < 3.0
     finally:
         srv.shutdown()
+        srv.server_close()
         srv.batcher.close()

@@ -38,6 +38,7 @@ def server():
     assert srv.warm_event.wait(timeout=300), "warmup never finished"
     yield base, scorer, T, D
     srv.shutdown()
+    srv.server_close()
 
 
 def _req(url, data=None, headers=None, method=None):
@@ -51,7 +52,11 @@ def test_healthz_503_during_warmup():
     """Liveness during warmup: the socket must answer (503) while buckets
     compile — on the real platform that window is minutes long."""
     class SlowScorer:
-        gate = threading.Event()
+        def __init__(self):
+            # instance-level: a class-level Event would stay set across
+            # reruns of this test in one process
+            self.gate = threading.Event()
+
         mean = np.zeros(4, np.float32)
         threshold = np.float32(1.0)
         min_bucket, max_batch, seq_len = 16, 32, 20
@@ -87,6 +92,7 @@ def test_healthz_503_during_warmup():
     finally:
         sc.gate.set()
         srv.shutdown()
+        srv.server_close()
 
 
 def test_healthz_and_info(server):
@@ -230,6 +236,7 @@ def test_warmup_failure_surfaces_on_healthz():
         assert "compile exploded" in json.loads(ei.value.read())["error"]
     finally:
         srv.shutdown()
+        srv.server_close()
 
 
 def test_error_responses_close_keepalive_connection(server):
