@@ -1,0 +1,226 @@
+"""AOT model export: serialize a trained scorer to a self-contained artifact.
+
+The reference's only deployment format is a torch ``state_dict`` that needs
+the full model source tree to restore (e.g. 4DOF/Scripts/06_test_full_pipeline
+.py:294-314 rebuilds both models before loading weights). This module exports
+the ENTIRE deterministic hybrid program — normalization, VAE gate, CNN
+attribution, thresholding, with the trained weights baked in as constants —
+via :mod:`jax.export` (StableHLO). The resulting ``.shmx`` file reloads and
+scores with nothing but jax + this loader: no flax, no model classes, no
+msgpack/stats/threshold side files.
+
+Design choices (TPU-native):
+
+- **Shape-polymorphic batch**: the program is exported once with a symbolic
+  batch dimension, so ONE artifact serves every padded bucket shape
+  (compilation per concrete shape still happens at load site, exactly like
+  the in-process scorer — :class:`ExportedScorer` reuses the same bucket
+  policy via :func:`shm_tpu.serve.score_bucketed`).
+- **Multi-platform lowering**: default ``platforms=("cpu", "tpu")`` — one
+  artifact runs on either backend (jax.export cross-lowers without the
+  target hardware present).
+- **XLA path, not the Pallas kernel**: Pallas lowers to a ``tpu_custom_call``
+  whose Mosaic payload is tied to the libtpu version that traced it —
+  jax.export's compatibility guarantees only cover stable custom calls. The
+  exported program therefore uses the portable XLA lowering (whose
+  equivalence with the kernel path is pinned in tests/test_ops.py /
+  tests/test_pipeline.py); in-process serving (:class:`shm_tpu.serve
+  .HybridScorer`) keeps the kernel.
+
+Example::
+
+    scorer = HybridScorer.from_artifacts("data/4dof")
+    save_exported_scorer(scorer, "gate4dof.shmx")
+    ...                                   # any other process / machine:
+    s = load_exported_scorer("gate4dof.shmx")
+    out = s.score(windows)                # same dict as HybridScorer.score
+
+CLI::
+
+    python -m shm_tpu.export --root data/4dof --out gate4dof.shmx
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import zipfile
+from pathlib import Path
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import export as jax_export
+
+from shm_tpu.pipeline import HybridOutputs, make_hybrid_fn
+from shm_tpu.serve import HybridScorer, bucket_size, score_bucketed
+
+FORMAT_VERSION = 1
+_PROGRAM_ENTRY = "program.jax_export"
+_MANIFEST_ENTRY = "manifest.json"
+_OUTPUT_KEYS = ("mse", "anomalous", "y_pred", "p_struct", "logits")
+
+
+def export_scorer(scorer: HybridScorer, *,
+                  platforms: Sequence[str] = ("cpu", "tpu")) -> bytes:
+    """Serialize ``scorer``'s deterministic hybrid program to jax.export bytes.
+
+    Weights, normalization stats, and the gate threshold are captured as
+    program constants; the exported callable takes ONE argument — a
+    ``(batch, seq_len, num_features) float32`` window stack with a symbolic
+    batch dimension — and returns the plain tuple
+    ``(mse, anomalous, y_pred, p_struct, logits)`` (a builtin pytree, so the
+    artifact does not depend on this package's output types to deserialize).
+    """
+    if scorer.mesh is not None:
+        raise ValueError(
+            "mesh scorers are bound to this session's devices; export a "
+            "single-device scorer (the load site can shard the batch itself)")
+    if scorer.seq_len is None:
+        raise ValueError(
+            "export needs the serving window length: construct the scorer "
+            "with seq_len= or use HybridScorer.from_artifacts()")
+
+    # Portable XLA program (see module docstring for why not the Pallas path).
+    fn = make_hybrid_fn(scorer.vae_model, scorer.cnn_model,
+                        use_fused_vae=False)
+    vp, cv = scorer.vae_params, scorer.cnn_variables
+    mean, std, thr = scorer.mean, scorer.std, scorer.threshold
+
+    @jax.jit
+    def closed(W):
+        return tuple(fn(vp, cv, W, mean, std, thr))
+
+    T, D = int(scorer.seq_len), int(np.asarray(scorer.mean).shape[-1])
+    (b,) = jax_export.symbolic_shape("b")
+    spec = jax.ShapeDtypeStruct((b, T, D), jnp.float32)
+    return jax_export.export(closed, platforms=tuple(platforms))(spec).serialize()
+
+
+def save_exported_scorer(scorer: HybridScorer, path: str | Path, *,
+                         platforms: Sequence[str] = ("cpu", "tpu"),
+                         extra_manifest: Optional[Dict] = None) -> Path:
+    """Export ``scorer`` and write the ``.shmx`` artifact (zip: program +
+    JSON manifest). Returns the written path."""
+    blob = export_scorer(scorer, platforms=platforms)
+    vae = scorer.vae_model
+    manifest = {
+        "format_version": FORMAT_VERSION,
+        "jax_version": jax.__version__,
+        "platforms": list(platforms),
+        "seq_len": int(scorer.seq_len),
+        "num_features": int(np.asarray(scorer.mean).shape[-1]),
+        "threshold": float(scorer.threshold),
+        "cell": getattr(vae, "cell", "lstm"),
+        "num_layers": int(vae.num_layers),
+        "min_bucket": int(scorer.min_bucket),
+        "max_batch": int(scorer.max_batch),
+        "outputs": list(_OUTPUT_KEYS),
+        "calling_convention":
+            "call(W: float32[batch, seq_len, num_features]) -> "
+            "(mse, anomalous, y_pred, p_struct, logits)",
+    }
+    if extra_manifest:
+        manifest.update(extra_manifest)
+    path = Path(path)
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr(_MANIFEST_ENTRY, json.dumps(manifest, indent=2))
+        zf.writestr(_PROGRAM_ENTRY, blob)
+    path.write_bytes(buf.getvalue())
+    return path
+
+
+class ExportedScorer:
+    """Bucket-batched scorer over a deserialized ``.shmx`` program.
+
+    Mirrors :class:`shm_tpu.serve.HybridScorer`'s request surface (``score``
+    returns the same dict of numpy arrays, requests ride the same
+    ``min_bucket * 2^k`` padded shapes, ``warmup()`` precompiles them) but
+    needs only the artifact — no model code, params, stats, or threshold
+    files. Equivalence with the in-process scorer is pinned in
+    tests/test_export.py.
+    """
+
+    def __init__(self, exported: "jax_export.Exported", manifest: Dict, *,
+                 min_bucket: Optional[int] = None,
+                 max_batch: Optional[int] = None):
+        self._exported = exported
+        self.manifest = dict(manifest)
+        self.seq_len = int(manifest["seq_len"])
+        self.num_features = int(manifest["num_features"])
+        self.threshold = float(manifest["threshold"])
+        self.min_bucket = int(min_bucket or manifest["min_bucket"])
+        self.max_batch = int(max_batch or manifest["max_batch"])
+        if self.min_bucket < 1 or self.max_batch < self.min_bucket:
+            raise ValueError("need 1 <= min_bucket <= max_batch")
+
+    # ------------------------------------------------------------------
+    def call(self, W) -> HybridOutputs:
+        """Raw program invocation on an (N, T, D) stack — compiles per
+        concrete N like any jitted function; prefer :meth:`score`."""
+        return HybridOutputs(*self._exported.call(jnp.asarray(W, jnp.float32)))
+
+    def buckets(self) -> Sequence[int]:
+        out, b = [], self.min_bucket
+        while b < self.max_batch:
+            out.append(b)
+            b *= 2
+        out.append(self.max_batch)
+        return out
+
+    def warmup(self, batch_sizes: Optional[Sequence[int]] = None) -> None:
+        """Compile every bucket shape before serving traffic."""
+        for b in (batch_sizes or self.buckets()):
+            out = self.call(np.zeros((b, self.seq_len, self.num_features),
+                                     np.float32))
+            np.asarray(out.mse)          # force completion (readback)
+
+    def score(self, W: np.ndarray) -> Dict[str, np.ndarray]:
+        """Score an (N, T, D) raw window stack; same outputs and padded-shape
+        policy as ``HybridScorer.score``."""
+        return score_bucketed(self.call, W, self.min_bucket, self.max_batch)
+
+
+def load_exported_scorer(path: str | Path, **kw) -> ExportedScorer:
+    """Load a ``.shmx`` artifact written by :func:`save_exported_scorer`."""
+    with zipfile.ZipFile(Path(path)) as zf:
+        manifest = json.loads(zf.read(_MANIFEST_ENTRY))
+        if manifest.get("format_version", 0) > FORMAT_VERSION:
+            raise ValueError(
+                f"artifact format {manifest.get('format_version')} is newer "
+                f"than this loader ({FORMAT_VERSION})")
+        exported = jax_export.deserialize(zf.read(_PROGRAM_ENTRY))
+    return ExportedScorer(exported, manifest, **kw)
+
+
+# ---------------------------------------------------------------------------
+def main(argv: Optional[Sequence[str]] = None) -> None:
+    p = argparse.ArgumentParser(
+        prog="python -m shm_tpu.export",
+        description="Export trained 4DOF-layout artifacts to a standalone "
+                    ".shmx scoring program (StableHLO, weights baked in).")
+    p.add_argument("--root", required=True,
+                   help="artifact root written by shm_tpu.cli.stage4dof")
+    p.add_argument("--out", required=True, help="output .shmx path")
+    p.add_argument("--platforms", default="cpu,tpu",
+                   help="comma-separated lowering platforms (default cpu,tpu)")
+    args = p.parse_args(argv)
+
+    scorer = HybridScorer.from_artifacts(args.root)
+    out = save_exported_scorer(
+        scorer, args.out, platforms=tuple(args.platforms.split(",")))
+    size_kb = out.stat().st_size / 1024
+    print(f"[export] wrote {out} ({size_kb:.0f} KB, "
+          f"platforms={args.platforms}, T={scorer.seq_len})")
+
+
+if __name__ == "__main__":
+    main()
+
+
+__all__ = ["export_scorer", "save_exported_scorer", "load_exported_scorer",
+           "ExportedScorer", "FORMAT_VERSION"]

@@ -43,6 +43,42 @@ from shm_tpu.data.windows import make_windows
 from shm_tpu.pipeline import concat_hybrid_outputs, make_hybrid_fn
 
 
+def bucket_size(n: int, min_bucket: int, max_batch: int) -> int:
+    """Smallest shape in the ``min_bucket * 2^k`` (capped at ``max_batch``)
+    bucket series that fits ``n`` windows — the ONE padded-shape policy shared
+    by :class:`HybridScorer` and :class:`shm_tpu.export.ExportedScorer`, so a
+    request only ever dispatches shapes ``warmup()`` compiled."""
+    b = min_bucket
+    while b < n and b < max_batch:
+        b *= 2
+    return min(b, max_batch)
+
+
+def score_bucketed(fn, W: np.ndarray, min_bucket: int, max_batch: int
+                   ) -> Dict[str, np.ndarray]:
+    """Run ``fn(Wb) -> HybridOutputs`` over an (N, T, D) window stack in
+    full ``max_batch`` batches plus one padded power-of-two bucket, trimming
+    pad rows from the concatenated host outputs."""
+    W = np.asarray(W, np.float32)
+    if W.ndim != 3:
+        raise ValueError(f"expected (N, T, D) windows, got {W.shape}")
+    N = W.shape[0]
+    if N == 0:
+        return {k: np.zeros((0,), np.float32) for k in
+                ("mse", "anomalous", "y_pred", "p_struct")}
+    outs, i = [], 0
+    while i < N:
+        n = min(max_batch, N - i)
+        b = bucket_size(n, min_bucket, max_batch)
+        Wb = W[i:i + n]
+        if b != n:
+            Wb = np.concatenate(
+                [Wb, np.zeros((b - n,) + W.shape[1:], np.float32)])
+        outs.append((fn(jnp.asarray(Wb)), n))
+        i += n
+    return concat_hybrid_outputs(outs)
+
+
 class HybridScorer:
     """Artifact-loaded, bucket-batched scorer for the fused hybrid pipeline.
 
@@ -89,6 +125,10 @@ class HybridScorer:
                                       fused_dtype=fused_dtype)
         self.mesh = mesh
         self.use_fused_vae = use_fused_vae
+        # kept for introspection + AOT export (shm_tpu.export rebuilds the
+        # portable XLA program from the same models/params)
+        self.vae_model = vae_model
+        self.cnn_model = cnn_model
         self.vae_params = jax.device_put(vae_params)
         self.cnn_variables = jax.device_put(cnn_variables)
         self.mean = jnp.asarray(mean)
@@ -101,6 +141,13 @@ class HybridScorer:
         # shapes live traffic will dispatch, so T flows from the config/
         # artifacts (an openLAB-preset scorer serves T=200, not 100)
         self.seq_len = int(seq_len) if seq_len is not None else None
+
+    @property
+    def num_features(self) -> int:
+        """Feature width D this scorer serves — the scorer-surface attribute
+        shared with :class:`shm_tpu.export.ExportedScorer` (the HTTP daemon
+        and DynamicBatcher introspect D through it, not through ``mean``)."""
+        return int(np.asarray(self.mean).shape[-1])
 
     # ------------------------------------------------------------------
     @classmethod
@@ -144,10 +191,7 @@ class HybridScorer:
         # a pure next-power-of-two here would dispatch shapes warmup never
         # compiled (and could break mesh divisibility) whenever min_bucket
         # is not itself a power of two.
-        b = self.min_bucket
-        while b < n and b < self.max_batch:
-            b *= 2
-        return min(b, self.max_batch)
+        return bucket_size(n, self.min_bucket, self.max_batch)
 
     def buckets(self) -> Sequence[int]:
         """Every padded batch shape this scorer can dispatch."""
@@ -270,27 +314,10 @@ class HybridScorer:
         """Score an (N, T, D) raw window stack; returns numpy arrays
         ``mse/anomalous/y_pred/p_struct`` of length N. Requests are split
         into full ``max_batch`` batches + one power-of-two bucket."""
-        W = np.asarray(W, np.float32)
-        if W.ndim != 3:
-            raise ValueError(f"expected (N, T, D) windows, got {W.shape}")
-        N = W.shape[0]
-        if N == 0:
-            return {k: np.zeros((0,), np.float32) for k in
-                    ("mse", "anomalous", "y_pred", "p_struct")}
-
-        outs, i = [], 0
-        while i < N:
-            n = min(self.max_batch, N - i)
-            b = self._bucket(n)
-            Wb = W[i:i + n]
-            if b != n:
-                Wb = np.concatenate(
-                    [Wb, np.zeros((b - n,) + W.shape[1:], np.float32)])
-            o = self._fn(self.vae_params, self.cnn_variables, jnp.asarray(Wb),
-                         self.mean, self.std, self.threshold)
-            outs.append((o, n))
-            i += n
-        return concat_hybrid_outputs(outs)
+        return score_bucketed(
+            lambda Wb: self._fn(self.vae_params, self.cnn_variables, Wb,
+                                self.mean, self.std, self.threshold),
+            W, self.min_bucket, self.max_batch)
 
 
 class StreamScorer:
@@ -365,4 +392,4 @@ class StreamScorer:
         self._next_start = 0
 
 
-__all__ = ["HybridScorer", "StreamScorer"]
+__all__ = ["HybridScorer", "StreamScorer", "bucket_size", "score_bucketed"]

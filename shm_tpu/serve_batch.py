@@ -71,7 +71,7 @@ class DynamicBatcher:
         # innocent co-traveling requests down with it
         if W.ndim != 3:
             raise ValueError(f"expected (N, T, D) windows, got {W.shape}")
-        D = int(np.asarray(self.scorer.mean).shape[-1])
+        D = int(self.scorer.num_features)
         T = self.scorer.seq_len
         if W.shape[0]:
             if T is not None and W.shape[1] != T:

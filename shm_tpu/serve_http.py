@@ -125,9 +125,10 @@ class _Handler(BaseHTTPRequestHandler):
                 "min_bucket": s.min_bucket,
                 "max_batch": s.max_batch,
                 "seq_len": s.seq_len,
-                "num_features": int(np.asarray(s.mean).shape[-1]),
+                "num_features": int(s.num_features),
                 "threshold": float(np.asarray(s.threshold)),
-                "use_fused_vae": bool(s.use_fused_vae),
+                "use_fused_vae": bool(getattr(s, "use_fused_vae", False)),
+                "exported": s.__class__.__name__ == "ExportedScorer",
                 "mesh_devices": (int(s.mesh.devices.size)
                                  if s.mesh is not None else None),
                 "labels": {"0": "Normal", "1": "Sensor Fault",
@@ -215,7 +216,7 @@ class _Handler(BaseHTTPRequestHandler):
             self._err(503, "still warming up")
             return
         T = self.scorer.seq_len
-        D = int(np.asarray(self.scorer.mean).shape[-1])
+        D = int(self.scorer.num_features)
 
         if self.path == "/score_series":
             x = self._read_array(2, "series", "T_total,D")

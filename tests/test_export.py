@@ -1,0 +1,116 @@
+"""AOT export (.shmx): round-trip, scorer equivalence, shape polymorphism.
+
+The reference has no deployment format at all — its pipeline script rebuilds
+both torch models from source before loading state_dicts
+(4DOF/Scripts/06_test_full_pipeline.py). shm_tpu.export serializes the whole
+deterministic hybrid program via jax.export; these tests pin that the
+deserialized artifact scores bit-identically to the in-process XLA scorer.
+"""
+
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from shm_tpu.config import VAEConfig
+from shm_tpu.export import (ExportedScorer, FORMAT_VERSION, export_scorer,
+                            load_exported_scorer, save_exported_scorer)
+from shm_tpu.models import CNN4DOF, vae_from_config
+from shm_tpu.serve import HybridScorer, bucket_size
+
+
+@pytest.fixture(scope="module")
+def scorer():
+    cfg = VAEConfig(4, 3, 16, 2, 0.0, use_layernorm=True)
+    vae = vae_from_config(cfg)
+    cnn = CNN4DOF(dropout=0.0)
+    T, D = 20, 4
+    key = jax.random.PRNGKey(0)
+    vae_params = vae.init({"params": key}, jnp.zeros((2, T, D)))["params"]
+    cnn_vars = cnn.init({"params": key}, jnp.zeros((2, T, D, 2)))
+    mean = np.zeros((D,), np.float32)
+    std = np.ones((D,), np.float32)
+    return HybridScorer(vae, cnn, vae_params, cnn_vars, mean, std, 1.0,
+                        use_fused_vae=False, min_bucket=8, max_batch=32,
+                        seq_len=T)
+
+
+@pytest.fixture(scope="module")
+def artifact(scorer, tmp_path_factory):
+    path = tmp_path_factory.mktemp("export") / "gate.shmx"
+    save_exported_scorer(scorer, path, platforms=("cpu",),
+                         extra_manifest={"note": "test"})
+    return path
+
+
+def test_roundtrip_score_matches_in_process(scorer, artifact):
+    """Deserialized program == in-process XLA scorer across a multi-bucket
+    request (32-batch + padded buckets for the 45 remainder). Discrete
+    outputs exact; floats to 1-ulp (the deserialized StableHLO program and
+    the live jit fuse the softmax differently)."""
+    loaded = load_exported_scorer(artifact)
+    W = np.asarray(jax.random.normal(jax.random.PRNGKey(1), (45, 20, 4)),
+                   np.float32)
+    got = loaded.score(W)
+    ref = scorer.score(W)
+    for k in ("anomalous", "y_pred"):
+        np.testing.assert_array_equal(np.asarray(got[k]), np.asarray(ref[k]),
+                                      err_msg=k)
+    for k in ("mse", "p_struct"):
+        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(ref[k]),
+                                   atol=1e-6, rtol=1e-6, err_msg=k)
+
+
+def test_shape_polymorphic_batch(scorer, artifact):
+    """ONE exported program serves every batch size — including shapes that
+    are not in the bucket series."""
+    loaded = load_exported_scorer(artifact)
+    W = np.asarray(jax.random.normal(jax.random.PRNGKey(2), (7, 20, 4)),
+                   np.float32)
+    out = loaded.call(W)            # direct N=7 dispatch, no padding
+    ref = scorer.score(W)
+    np.testing.assert_allclose(np.asarray(out.mse), ref["mse"],
+                               atol=1e-6, rtol=1e-6)
+    assert np.asarray(out.logits).shape == (7, 2)
+
+
+def test_manifest_and_buckets(scorer, artifact):
+    loaded = load_exported_scorer(artifact)
+    m = loaded.manifest
+    assert m["format_version"] == FORMAT_VERSION
+    assert m["seq_len"] == 20 and m["num_features"] == 4
+    assert m["cell"] == "lstm" and m["num_layers"] == 2
+    assert m["note"] == "test"
+    assert list(loaded.buckets()) == [8, 16, 32]
+    loaded.warmup([8])              # compiles + runs one bucket
+    assert loaded.score(np.zeros((0, 20, 4), np.float32))["mse"].shape == (0,)
+
+
+def test_bucket_size_policy_shared(scorer):
+    """The free function is the scorer's policy (same series, same caps)."""
+    for n in (1, 8, 9, 16, 31, 32, 33, 1000):
+        assert bucket_size(n, 8, 32) == scorer._bucket(min(n, 32))
+
+
+def test_export_rejects_mesh_and_missing_seq_len(scorer):
+    no_t = HybridScorer(scorer.vae_model, scorer.cnn_model, scorer.vae_params,
+                        scorer.cnn_variables, np.zeros(4, np.float32),
+                        np.ones(4, np.float32), 1.0, use_fused_vae=False)
+    with pytest.raises(ValueError, match="seq_len"):
+        export_scorer(no_t, platforms=("cpu",))
+
+
+def test_loader_rejects_newer_format(scorer, artifact, tmp_path):
+    import json
+    import zipfile
+    newer = tmp_path / "future.shmx"
+    with zipfile.ZipFile(artifact) as zin, \
+            zipfile.ZipFile(newer, "w") as zout:
+        m = json.loads(zin.read("manifest.json"))
+        m["format_version"] = FORMAT_VERSION + 1
+        zout.writestr("manifest.json", json.dumps(m))
+        zout.writestr("program.jax_export", zin.read("program.jax_export"))
+    with pytest.raises(ValueError, match="newer"):
+        load_exported_scorer(newer)

@@ -21,6 +21,7 @@ class FakeScorer:
 
     def __init__(self, T=10, D=3, max_batch=64):
         self.mean = np.zeros(D, np.float32)
+        self.num_features = D
         self.seq_len = T
         self.max_batch = max_batch
         self.calls = 0
