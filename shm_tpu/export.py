@@ -138,12 +138,19 @@ class ExportedScorer:
     """Bucket-batched scorer over a deserialized ``.shmx`` program.
 
     Mirrors :class:`shm_tpu.serve.HybridScorer`'s request surface (``score``
-    returns the same dict of numpy arrays, requests ride the same
-    ``min_bucket * 2^k`` padded shapes, ``warmup()`` precompiles them) but
-    needs only the artifact — no model code, params, stats, or threshold
-    files. Equivalence with the in-process scorer is pinned in
+    / ``score_series`` return the same dicts of numpy arrays, requests ride
+    the same ``min_bucket * 2^k`` padded shapes, ``warmup()`` precompiles
+    them) but needs only the artifact — no model code, params, stats, or
+    threshold files, so :mod:`shm_tpu.serve_http` can serve it directly
+    (``--shmx``). Equivalence with the in-process scorer is pinned in
     tests/test_export.py.
     """
+
+    # the daemon surface HybridScorer exposes: exported programs are always
+    # single-device (the load site shards if it wants) and always the
+    # portable XLA lowering (module docstring)
+    mesh = None
+    use_fused_vae = False
 
     def __init__(self, exported: "jax_export.Exported", manifest: Dict, *,
                  min_bucket: Optional[int] = None,
@@ -183,6 +190,39 @@ class ExportedScorer:
         """Score an (N, T, D) raw window stack; same outputs and padded-shape
         policy as ``HybridScorer.score``."""
         return score_bucketed(self.call, W, self.min_bucket, self.max_batch)
+
+    def warmup_series(self, stride: int = 1,
+                      batch_sizes: Optional[Sequence[int]] = None) -> None:
+        """No-op beyond :meth:`warmup`: the exported program takes WINDOWS
+        (the on-device series gather is not part of the artifact), so
+        :meth:`score_series` windowizes on the host and dispatches through
+        the already-warmed window buckets — there are no per-stride programs
+        to compile. Kept so the HTTP daemon's acceptance-implies-warmed
+        stride policy holds for ``--shmx`` scorers too."""
+        if stride < 1:
+            raise ValueError(f"stride must be >= 1, got {stride}")
+
+    def score_series(self, x: np.ndarray, stride: int = 1
+                     ) -> Dict[str, np.ndarray]:
+        """Score every sliding window of a raw (T_total, D) series.
+
+        Same outputs as ``HybridScorer.score_series``, but windows are built
+        on the HOST (the artifact's program starts at the window stack) —
+        the remote-upload savings of the in-process on-device windowizer do
+        not apply to exported scorers. Uses the same windowing helper as the
+        serving path so indexing cannot diverge (serve.py mesh fallback)."""
+        from shm_tpu.data.windows import make_windows
+
+        x = np.asarray(x, np.float32)
+        if x.ndim != 2:
+            raise ValueError(f"expected a (T_total, D) series, got {x.shape}")
+        if stride < 1:
+            raise ValueError(f"stride must be >= 1, got {stride}")
+        if x.shape[0] < self.seq_len:
+            return {k: np.zeros((0,), np.float32) for k in
+                    ("mse", "anomalous", "y_pred", "p_struct")}
+        W = np.asarray(make_windows(jnp.asarray(x), self.seq_len, stride))
+        return self.score(W)
 
 
 def load_exported_scorer(path: str | Path, **kw) -> ExportedScorer:

@@ -343,6 +343,11 @@ def main(argv=None) -> None:
         description="HTTP scoring service over trained 4DOF artifacts")
     ap.add_argument("--root", default="data/4dof",
                     help="artifact root (models/, processed/)")
+    ap.add_argument("--shmx", default=None, metavar="PATH",
+                    help="serve a standalone .shmx export (shm_tpu.export) "
+                         "instead of --root artifacts — no model code or "
+                         "side files needed; /score_series windowizes on "
+                         "the host for this mode")
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8787)
     ap.add_argument("--min-bucket", type=int, default=256)
@@ -365,16 +370,27 @@ def main(argv=None) -> None:
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args(argv)
 
-    from shm_tpu.serve import HybridScorer
+    if args.shmx is not None:
+        if args.devices and args.devices > 1:
+            ap.error("--devices does not apply to --shmx: exported programs "
+                     "are single-device (shard upstream of the daemon)")
+        from shm_tpu.export import load_exported_scorer
 
-    kw = dict(min_bucket=args.min_bucket, max_batch=args.max_batch)
-    if args.devices and args.devices > 1:
-        from shm_tpu.parallel import make_mesh
+        scorer = load_exported_scorer(args.shmx, min_bucket=args.min_bucket,
+                                      max_batch=args.max_batch)
+        print(f"[serve] loaded exported program {args.shmx}; "
+              f"buckets={list(scorer.buckets())} T={scorer.seq_len}")
+    else:
+        from shm_tpu.serve import HybridScorer
 
-        kw["mesh"] = make_mesh(args.devices)
-    scorer = HybridScorer.from_artifacts(args.root, **kw)
-    print(f"[serve] loaded artifacts from {args.root}; "
-          f"buckets={list(scorer.buckets())} T={scorer.seq_len}")
+        kw = dict(min_bucket=args.min_bucket, max_batch=args.max_batch)
+        if args.devices and args.devices > 1:
+            from shm_tpu.parallel import make_mesh
+
+            kw["mesh"] = make_mesh(args.devices)
+        scorer = HybridScorer.from_artifacts(args.root, **kw)
+        print(f"[serve] loaded artifacts from {args.root}; "
+              f"buckets={list(scorer.buckets())} T={scorer.seq_len}")
     try:
         strides = tuple(int(s) for s in args.series_strides.split(",")
                         if s.strip())

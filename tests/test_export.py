@@ -114,3 +114,74 @@ def test_loader_rejects_newer_format(scorer, artifact, tmp_path):
         zout.writestr("program.jax_export", zin.read("program.jax_export"))
     with pytest.raises(ValueError, match="newer"):
         load_exported_scorer(newer)
+
+
+def test_score_series_matches_in_process(scorer, artifact):
+    """Exported score_series (host windowing) == in-process on-device
+    windowizer, including a stride > 1 and a too-short series."""
+    loaded = load_exported_scorer(artifact)
+    x = np.asarray(jax.random.normal(jax.random.PRNGKey(3), (83, 4)),
+                   np.float32)
+    for stride in (1, 3):
+        got = loaded.score_series(x, stride=stride)
+        ref = scorer.score_series(x, stride=stride)
+        np.testing.assert_allclose(got["mse"], ref["mse"],
+                                   atol=1e-6, rtol=1e-6)
+        np.testing.assert_array_equal(got["y_pred"], ref["y_pred"])
+    assert loaded.score_series(x[:5])["mse"].shape == (0,)
+    with pytest.raises(ValueError, match="stride"):
+        loaded.score_series(x, stride=0)
+
+
+def test_http_daemon_serves_exported_artifact(scorer, artifact):
+    """make_server over an ExportedScorer: /info reports exported=True,
+    /score round-trips with in-process-identical outputs, /score_series
+    serves through the host windowizer (the --shmx daemon mode)."""
+    import json as _json
+    import threading
+    import urllib.request
+
+    from shm_tpu.serve_http import make_server
+
+    loaded = load_exported_scorer(artifact)
+    srv = make_server(loaded, port=0, series_strides=(1,))
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        assert srv.warm_event.wait(timeout=300)
+        assert srv.RequestHandlerClass.warm_error is None
+
+        with urllib.request.urlopen(base + "/info", timeout=30) as r:
+            info = _json.loads(r.read())
+        assert info["exported"] is True
+        assert info["seq_len"] == 20 and info["num_features"] == 4
+
+        W = np.asarray(jax.random.normal(jax.random.PRNGKey(4), (11, 20, 4)),
+                       np.float32)
+        req = urllib.request.Request(
+            base + "/score", data=W.tobytes(),
+            headers={"Content-Type": "application/octet-stream",
+                     "X-Shape": "11,20,4"})
+        with urllib.request.urlopen(req, timeout=60) as r:
+            out = _json.loads(r.read())
+        ref = scorer.score(W)
+        np.testing.assert_allclose(out["mse"], ref["mse"],
+                                   atol=1e-6, rtol=1e-6)
+        assert out["y_pred"] == [int(v) for v in ref["y_pred"]]
+
+        x = np.asarray(jax.random.normal(jax.random.PRNGKey(5), (40, 4)),
+                       np.float32)
+        req = urllib.request.Request(
+            base + "/score_series", data=x.tobytes(),
+            headers={"Content-Type": "application/octet-stream",
+                     "X-Shape": "40,4"})
+        with urllib.request.urlopen(req, timeout=60) as r:
+            out = _json.loads(r.read())
+        ref = scorer.score_series(x)
+        assert out["n"] == len(ref["mse"])
+        np.testing.assert_allclose(out["mse"], ref["mse"],
+                                   atol=1e-6, rtol=1e-6)
+    finally:
+        srv.shutdown()
+        srv.server_close()
