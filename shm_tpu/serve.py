@@ -54,14 +54,17 @@ def bucket_size(n: int, min_bucket: int, max_batch: int) -> int:
     return min(b, max_batch)
 
 
-def score_bucketed(fn, W: np.ndarray, min_bucket: int, max_batch: int
-                   ) -> Dict[str, np.ndarray]:
-    """Run ``fn(Wb) -> HybridOutputs`` over an (N, T, D) window stack in
+def score_bucketed(fn, W: np.ndarray, min_bucket: int, max_batch: int,
+                   ndim: int = 3) -> Dict[str, np.ndarray]:
+    """Run ``fn(Wb) -> HybridOutputs`` over a batch-leading window stack in
     full ``max_batch`` batches plus one padded power-of-two bucket, trimming
-    pad rows from the concatenated host outputs."""
+    pad rows from the concatenated host outputs. ``ndim`` is the expected
+    request rank (3 for (N, T, D) window stacks; 4 for the openLAB
+    clean/raw-stacked (N, T, C, 2) requests)."""
     W = np.asarray(W, np.float32)
-    if W.ndim != 3:
-        raise ValueError(f"expected (N, T, D) windows, got {W.shape}")
+    if W.ndim != ndim:
+        raise ValueError(f"expected a rank-{ndim} batch-leading window "
+                         f"stack, got {W.shape}")
     N = W.shape[0]
     if N == 0:
         return {k: np.zeros((0,), np.float32) for k in

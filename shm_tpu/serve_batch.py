@@ -69,8 +69,10 @@ class DynamicBatcher:
         # validate HERE (request thread): a malformed request must fail
         # alone, never inside a coalesced batch where it would take
         # innocent co-traveling requests down with it
-        if W.ndim != 3:
-            raise ValueError(f"expected (N, T, D) windows, got {W.shape}")
+        rank = int(getattr(self.scorer, "request_rank", 3))
+        if W.ndim != rank:
+            raise ValueError(f"expected a rank-{rank} batch-leading window "
+                             f"stack, got {W.shape}")
         D = int(self.scorer.num_features)
         T = self.scorer.seq_len
         if W.shape[0]:
@@ -78,6 +80,9 @@ class DynamicBatcher:
                 raise ValueError(f"scorer serves T={T}, got {W.shape[1]}")
             if W.shape[2] != D:
                 raise ValueError(f"scorer serves D={D}, got {W.shape[2]}")
+            if rank == 4 and W.shape[3] != 2:
+                raise ValueError("stacked [clean, raw] requests need a "
+                                 f"trailing pair axis of 2, got {W.shape[3]}")
         if W.shape[0] == 0:
             return {k: np.zeros((0,), np.float32) for k in _EMPTY_KEYS}
         if self._closed:

@@ -217,8 +217,15 @@ class _Handler(BaseHTTPRequestHandler):
             return
         T = self.scorer.seq_len
         D = int(self.scorer.num_features)
+        rank = int(getattr(self.scorer, "request_rank", 3))
 
         if self.path == "/score_series":
+            if not hasattr(self.scorer, "score_series"):
+                self._err(422, "this scorer has no raw-series endpoint "
+                               "(openLAB cleaning is a per-run cascade that "
+                               "lives in extraction — POST extracted window "
+                               "pairs to /score)")
+                return
             x = self._read_array(2, "series", "T_total,D")
             if x is None:
                 return
@@ -252,14 +259,26 @@ class _Handler(BaseHTTPRequestHandler):
             self._respond_scores(out, len(out["mse"]))
             return
 
-        W = self._read_array(3, "windows", "N,T,D")
-        if W is None:
-            return
-        if W.shape[0] and (T is not None and W.shape[1] != T or W.shape[2] != D):
-            self._err(422, f"scorer serves (N, {T}, {D}) windows; "
-                           f"got {tuple(W.shape)} — a mismatched T would "
-                           "recompile every bucket")
-            return
+        if rank == 4:
+            # openLAB scorers take (N, T, C, 2) stacked [clean, raw] windows
+            W = self._read_array(4, "windows", "N,T,C,2")
+            if W is None:
+                return
+            if W.shape[0] and (T is not None and W.shape[1] != T
+                               or W.shape[2] != D or W.shape[3] != 2):
+                self._err(422, f"scorer serves (N, {T}, {D}, 2) stacked "
+                               f"[clean, raw] windows; got {tuple(W.shape)}")
+                return
+        else:
+            W = self._read_array(3, "windows", "N,T,D")
+            if W is None:
+                return
+            if W.shape[0] and (T is not None and W.shape[1] != T
+                               or W.shape[2] != D):
+                self._err(422, f"scorer serves (N, {T}, {D}) windows; "
+                               f"got {tuple(W.shape)} — a mismatched T would "
+                               "recompile every bucket")
+                return
         try:
             out = (self.score_fn or self.scorer.score)(W)
         except Exception as e:                    # pragma: no cover - defense
@@ -343,6 +362,12 @@ def main(argv=None) -> None:
         description="HTTP scoring service over trained 4DOF artifacts")
     ap.add_argument("--root", default="data/4dof",
                     help="artifact root (models/, processed/)")
+    ap.add_argument("--openlab", default=None, metavar="ROOT",
+                    help="serve the openLAB (bridge) hybrid from this "
+                         "artifact root instead of --root: /score takes "
+                         "(N, T, C, 2) stacked [clean, raw] extracted "
+                         "windows (CNN stage-2; ML stage-2 modes are "
+                         "library-level — they need per-request features)")
     ap.add_argument("--shmx", default=None, metavar="PATH",
                     help="serve a standalone .shmx export (shm_tpu.export) "
                          "instead of --root artifacts — no model code or "
@@ -370,7 +395,21 @@ def main(argv=None) -> None:
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args(argv)
 
-    if args.shmx is not None:
+    if args.openlab is not None and args.shmx is not None:
+        ap.error("--openlab and --shmx are mutually exclusive")
+    if args.openlab is not None:
+        if args.devices and args.devices > 1:
+            ap.error("--devices does not apply to --openlab (single-device "
+                     "scorer; shard upstream of the daemon)")
+        from shm_tpu.serve_openlab import OpenLabScorer
+
+        scorer = OpenLabScorer.from_artifacts(
+            args.openlab, min_bucket=args.min_bucket,
+            max_batch=args.max_batch)
+        print(f"[serve] loaded openLAB artifacts from {args.openlab}; "
+              f"buckets={list(scorer.buckets())} T={scorer.seq_len} "
+              f"request=(N, {scorer.seq_len}, {scorer.num_features}, 2)")
+    elif args.shmx is not None:
         if args.devices and args.devices > 1:
             ap.error("--devices does not apply to --shmx: exported programs "
                      "are single-device (shard upstream of the daemon)")

@@ -192,7 +192,7 @@ def test_empty_and_bad_input(setup):
     scorer = _scorer(setup)
     out = scorer.score(np.zeros((0, 20, 4), np.float32))
     assert all(v.shape == (0,) for v in out.values())
-    with pytest.raises(ValueError, match="windows"):
+    with pytest.raises(ValueError, match="rank-3"):
         scorer.score(np.zeros((5, 20), np.float32))
     with pytest.raises(ValueError, match="min_bucket"):
         _scorer(setup, min_bucket=64, max_batch=32)

@@ -102,7 +102,7 @@ def test_validation_fails_alone_on_request_thread():
             b.score(_windows(4, D=5))
         with pytest.raises(ValueError, match="T=10"):
             b.score(_windows(4, T=7))
-        with pytest.raises(ValueError, match="windows"):
+        with pytest.raises(ValueError, match="rank-3"):
             b.score(np.zeros((4, 10), np.float32))
         assert sc.calls == 0
         # a good request still works afterwards

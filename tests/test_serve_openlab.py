@@ -1,0 +1,217 @@
+"""OpenLabScorer: equivalence with the cmd_test_hybrid computation on the
+committed bridge artifacts, request validation, ML stage-2 routing.
+
+The reference's openLAB deployment is per-script artifact reloading + host
+anomaly gathers (Codes/10_test_hybrid_pipeline.py:300-453); these tests pin
+that the load-once fused scorer reproduces that computation window-for-window.
+"""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from shm_tpu.serve_openlab import ML_STAGE2, OpenLabScorer
+
+ROOT = Path("data/openlab")
+
+pytestmark = pytest.mark.skipif(
+    not (ROOT / "output" / "CNN_Training" / "artifacts"
+         / "cnn_model_openlab.msgpack").exists(),
+    reason="committed openLAB artifacts not present")
+
+
+@pytest.fixture(scope="module")
+def subset():
+    """A small window subset guaranteed to include rows on BOTH sides of
+    the gate threshold (picked by actually scoring a candidate pool — a
+    fixed label-stratified pick can land entirely below the gate)."""
+    from shm_tpu.cli.openlab import Paths, _load_openlab_vae, standardize_clip
+    from shm_tpu.config import OpenLabConfig
+    from shm_tpu.train.vae import reconstruction_mse
+    from shm_tpu.utils.io import load_json
+
+    Xc = np.load(ROOT / "extracted" / "X_clean.npy").astype(np.float32)
+    Xr = np.load(ROOT / "extracted" / "X_raw.npy").astype(np.float32)
+    Xf = np.load(ROOT / "features" / "X_feat.npy").astype(np.float32)
+
+    cfg = OpenLabConfig()
+    paths = Paths(str(ROOT), raw_dir="")
+    model, params, mu, sd, manifest = _load_openlab_vae(paths, cfg)
+    thr = float(load_json(paths.vae_val_dir / "artifacts"
+                          / "vae_threshold.json")["threshold"])
+    pool = np.linspace(0, len(Xc) - 1, 512).astype(int)
+    Zg = standardize_clip(Xc[pool][:, :, list(map(int, manifest["channels_idx"]))],
+                          mu, sd, cfg.standardize_clip)
+    mse = reconstruction_mse(model, params, Zg, fused=False)
+    above = pool[mse > thr][:30]
+    below = pool[mse <= thr][:30]
+    assert len(above) >= 5, "candidate pool never trips the gate"
+    idx = np.concatenate([above, below])
+    return Xc[idx], Xr[idx], Xf[idx]
+
+
+@pytest.fixture(scope="module")
+def scorer():
+    return OpenLabScorer.from_artifacts(ROOT, min_bucket=16, max_batch=64)
+
+
+def _reference_outputs(Xc, Xr):
+    """Mirror cmd_test_hybrid's CNN-mode computation with the library
+    primitives (Codes/10_test_hybrid_pipeline.py:337-371 semantics)."""
+    from shm_tpu.cli.openlab import (Paths, _load_openlab_cnn,
+                                     _load_openlab_vae, standardize_clip)
+    from shm_tpu.config import OpenLabConfig
+    from shm_tpu.train.cnn import predict_probs
+    from shm_tpu.train.vae import reconstruction_mse
+    from shm_tpu.utils.io import load_json
+
+    cfg = OpenLabConfig()
+    paths = Paths(str(ROOT), raw_dir="")
+    model, params, mu, sd, manifest = _load_openlab_vae(paths, cfg)
+    ch_idx = list(map(int, manifest["channels_idx"]))
+    thr = float(load_json(paths.vae_val_dir / "artifacts"
+                          / "vae_threshold.json")["threshold"])
+    Zg = standardize_clip(Xc[:, :, ch_idx], mu, sd, cfg.standardize_clip)
+    mse = reconstruction_mse(model, params, Zg, fused=False)
+    anom = mse > thr
+
+    cnn_model, cnn_vars, cmu, csd = _load_openlab_cnn(paths, cfg)
+    thr2 = float(np.load(paths.cnn_val_dir / "artifacts"
+                         / "cnn_best_threshold.npy").ravel()[0])
+    Za = standardize_clip(Xr, cmu, csd, cfg.standardize_clip)[..., None]
+    p_st = predict_probs(cnn_model, cnn_vars, Za)[:, 1]
+    y3 = np.where(anom, np.where(p_st >= thr2, 2, 1), 0)
+    return {"mse": mse, "anomalous": anom, "y_pred": y3,
+            "p_struct": np.where(anom, p_st, 0.0)}
+
+
+def test_cnn_mode_matches_reference_computation(scorer, subset):
+    Xc, Xr, _ = subset
+    got = scorer.score_pair(Xc, Xr)
+    ref = _reference_outputs(Xc, Xr)
+    assert ref["anomalous"].any(), "subset never trips the gate — weak test"
+    np.testing.assert_allclose(got["mse"], ref["mse"], rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(got["anomalous"].astype(bool),
+                                  ref["anomalous"])
+    np.testing.assert_array_equal(got["y_pred"], ref["y_pred"])
+    np.testing.assert_allclose(got["p_struct"], ref["p_struct"],
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_stacked_and_pair_agree(scorer, subset):
+    Xc, Xr, _ = subset
+    X = np.stack([Xc, Xr], axis=-1)
+    a = scorer.score(X)
+    b = scorer.score_pair(Xc, Xr)
+    for k in a:
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+
+
+def test_bucketing_invariance(scorer, subset):
+    """Padded-bucket split points must not change any output (17 rows ->
+    one padded 32-bucket; vs scoring with batch-exact shapes)."""
+    Xc, Xr, _ = subset
+    whole = scorer.score_pair(Xc, Xr)
+    part = OpenLabScorer.from_artifacts(ROOT, min_bucket=4, max_batch=16)
+    split = part.score_pair(Xc, Xr)
+    np.testing.assert_allclose(split["mse"], whole["mse"],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(split["y_pred"], whole["y_pred"])
+
+
+def test_ml_stage2_rf_matches_sklearn_routing(subset):
+    """stage2='rf': gate on device, forest scored on device from features;
+    y_pred must match the sklearn-host recomputation of the same routing."""
+    Xc, Xr, Xf = subset
+    dev = OpenLabScorer.from_artifacts(ROOT, stage2="rf",
+                                       min_bucket=16, max_batch=64)
+    host = OpenLabScorer.from_artifacts(ROOT, stage2="rf", host_ml=True,
+                                        min_bucket=16, max_batch=64)
+    a = dev.score_pair(Xc, Xr, features=Xf)
+    b = host.score_pair(Xc, Xr, features=Xf)
+    assert a["anomalous"].astype(bool).any()
+    np.testing.assert_array_equal(a["y_pred"], b["y_pred"])
+    np.testing.assert_allclose(a["p_struct"], b["p_struct"],
+                               rtol=1e-5, atol=1e-6)
+    # non-anomalous rows stay Normal with p_struct 0
+    normals = ~a["anomalous"].astype(bool)
+    assert (np.asarray(a["y_pred"])[normals] == 0).all()
+    assert (np.asarray(a["p_struct"])[normals] == 0).all()
+
+
+def test_validation_errors(scorer, subset):
+    Xc, Xr, Xf = subset
+    with pytest.raises(ValueError, match="stacked"):
+        scorer.score(Xc)                        # rank 3, no pair axis
+    with pytest.raises(ValueError, match="clean/raw"):
+        scorer.score_pair(Xc, Xr[:-1])
+    ml = OpenLabScorer.from_artifacts(ROOT, stage2="hgb",
+                                      min_bucket=16, max_batch=64)
+    with pytest.raises(ValueError, match="features"):
+        ml.score_pair(Xc, Xr)
+    with pytest.raises(ValueError, match="rows"):
+        ml.score_pair(Xc, Xr, features=Xf[:-1])
+    with pytest.raises(ValueError, match="unknown stage2"):
+        OpenLabScorer.from_artifacts(ROOT, stage2="nope")
+    out = scorer.score(np.zeros((0, 200, 4, 2), np.float32))
+    assert out["mse"].shape == (0,)
+
+
+def test_warmup_and_buckets(scorer):
+    assert list(scorer.buckets()) == [16, 32, 64]
+    scorer.warmup([16])
+
+
+def test_http_daemon_openlab_mode(scorer, subset):
+    """Real-socket round trip of the rank-4 [clean, raw] request format
+    (the --openlab daemon mode): /score parity with the in-process scorer,
+    shape validation, and /score_series 422 (no per-run cascade in serving)."""
+    import json
+    import threading
+    import urllib.error
+    import urllib.request
+
+    from shm_tpu.serve_http import make_server
+
+    Xc, Xr, _ = subset
+    srv = make_server(scorer, port=0, series_strides=(1,))
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        assert srv.warm_event.wait(timeout=600)
+        assert srv.RequestHandlerClass.warm_error is None
+
+        X = np.stack([Xc[:9], Xr[:9]], axis=-1).astype(np.float32)
+        req = urllib.request.Request(
+            base + "/score", data=X.tobytes(),
+            headers={"Content-Type": "application/octet-stream",
+                     "X-Shape": "9,200,4,2"})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            out = json.loads(r.read())
+        ref = scorer.score(X)
+        np.testing.assert_allclose(out["mse"], ref["mse"],
+                                   rtol=1e-5, atol=1e-6)
+        assert out["y_pred"] == [int(v) for v in ref["y_pred"]]
+
+        # rank-3 body must 400 (shape header), wrong channel count must 422
+        bad = np.zeros((2, 200, 3, 2), np.float32)
+        req = urllib.request.Request(
+            base + "/score", data=bad.tobytes(),
+            headers={"Content-Type": "application/octet-stream",
+                     "X-Shape": "2,200,3,2"})
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=30)
+        assert ei.value.code == 422
+
+        req = urllib.request.Request(
+            base + "/score_series", data=np.zeros((300, 4), np.float32).tobytes(),
+            headers={"Content-Type": "application/octet-stream",
+                     "X-Shape": "300,4"})
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=30)
+        assert ei.value.code == 422
+    finally:
+        srv.shutdown()
+        srv.server_close()
