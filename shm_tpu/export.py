@@ -64,14 +64,17 @@ _MANIFEST_ENTRY = "manifest.json"
 _OUTPUT_KEYS = ("mse", "anomalous", "y_pred", "p_struct", "logits")
 
 
-def export_scorer(scorer: HybridScorer, *,
+def export_scorer(scorer, *,
                   platforms: Sequence[str] = ("cpu", "tpu")) -> bytes:
     """Serialize ``scorer``'s deterministic hybrid program to jax.export bytes.
 
-    Weights, normalization stats, and the gate threshold are captured as
-    program constants; the exported callable takes ONE argument — a
-    ``(batch, seq_len, num_features) float32`` window stack with a symbolic
-    batch dimension — and returns the plain tuple
+    ``scorer`` is a :class:`shm_tpu.serve.HybridScorer` (4DOF layout:
+    rank-3 ``(batch, seq_len, num_features)`` requests) or a
+    :class:`shm_tpu.serve_openlab.OpenLabScorer` with CNN stage-2 (rank-4
+    ``(batch, seq_len, channels, 2)`` stacked [clean, raw] requests).
+    Weights, normalization stats, and every threshold are captured as
+    program constants; the exported callable takes ONE float32 array with a
+    symbolic batch dimension and returns the plain tuple
     ``(mse, anomalous, y_pred, p_struct, logits)`` (a builtin pytree, so the
     artifact does not depend on this package's output types to deserialize).
     """
@@ -82,37 +85,46 @@ def export_scorer(scorer: HybridScorer, *,
     if scorer.seq_len is None:
         raise ValueError(
             "export needs the serving window length: construct the scorer "
-            "with seq_len= or use HybridScorer.from_artifacts()")
+            "with seq_len= or use from_artifacts()")
 
-    # Portable XLA program (see module docstring for why not the Pallas path).
-    fn = make_hybrid_fn(scorer.vae_model, scorer.cnn_model,
-                        use_fused_vae=False)
-    vp, cv = scorer.vae_params, scorer.cnn_variables
-    mean, std, thr = scorer.mean, scorer.std, scorer.threshold
+    T, D = int(scorer.seq_len), int(scorer.num_features)
+    if getattr(scorer, "request_rank", 3) == 4:
+        closed = scorer.export_program()          # OpenLabScorer (XLA gate)
+        shape = (T, D, 2)
+    else:
+        # Portable XLA program (see module docstring for why not Pallas).
+        fn = make_hybrid_fn(scorer.vae_model, scorer.cnn_model,
+                            use_fused_vae=False)
+        vp, cv = scorer.vae_params, scorer.cnn_variables
+        mean, std, thr = scorer.mean, scorer.std, scorer.threshold
 
-    @jax.jit
-    def closed(W):
-        return tuple(fn(vp, cv, W, mean, std, thr))
+        @jax.jit
+        def closed(W):
+            return tuple(fn(vp, cv, W, mean, std, thr))
+        shape = (T, D)
 
-    T, D = int(scorer.seq_len), int(np.asarray(scorer.mean).shape[-1])
     (b,) = jax_export.symbolic_shape("b")
-    spec = jax.ShapeDtypeStruct((b, T, D), jnp.float32)
+    spec = jax.ShapeDtypeStruct((b,) + shape, jnp.float32)
     return jax_export.export(closed, platforms=tuple(platforms))(spec).serialize()
 
 
-def save_exported_scorer(scorer: HybridScorer, path: str | Path, *,
+def save_exported_scorer(scorer, path: str | Path, *,
                          platforms: Sequence[str] = ("cpu", "tpu"),
                          extra_manifest: Optional[Dict] = None) -> Path:
-    """Export ``scorer`` and write the ``.shmx`` artifact (zip: program +
-    JSON manifest). Returns the written path."""
+    """Export ``scorer`` (HybridScorer or CNN-mode OpenLabScorer) and write
+    the ``.shmx`` artifact (zip: program + JSON manifest). Returns the
+    written path."""
     blob = export_scorer(scorer, platforms=platforms)
     vae = scorer.vae_model
+    rank = int(getattr(scorer, "request_rank", 3))
     manifest = {
         "format_version": FORMAT_VERSION,
         "jax_version": jax.__version__,
         "platforms": list(platforms),
+        "pipeline": "openlab" if rank == 4 else "4dof",
+        "request_rank": rank,
         "seq_len": int(scorer.seq_len),
-        "num_features": int(np.asarray(scorer.mean).shape[-1]),
+        "num_features": int(scorer.num_features),
         "threshold": float(scorer.threshold),
         "cell": getattr(vae, "cell", "lstm"),
         "num_layers": int(vae.num_layers),
@@ -120,9 +132,13 @@ def save_exported_scorer(scorer: HybridScorer, path: str | Path, *,
         "max_batch": int(scorer.max_batch),
         "outputs": list(_OUTPUT_KEYS),
         "calling_convention":
-            "call(W: float32[batch, seq_len, num_features]) -> "
-            "(mse, anomalous, y_pred, p_struct, logits)",
+            ("call(X: float32[batch, seq_len, channels, 2]) -> "
+             "(mse, anomalous, y_pred, p_struct, logits)" if rank == 4 else
+             "call(W: float32[batch, seq_len, num_features]) -> "
+             "(mse, anomalous, y_pred, p_struct, logits)"),
     }
+    if rank == 4:
+        manifest["stage2_threshold"] = float(scorer.stage2_threshold)
     if extra_manifest:
         manifest.update(extra_manifest)
     path = Path(path)
@@ -160,6 +176,7 @@ class ExportedScorer:
         self.seq_len = int(manifest["seq_len"])
         self.num_features = int(manifest["num_features"])
         self.threshold = float(manifest["threshold"])
+        self.request_rank = int(manifest.get("request_rank", 3))
         self.min_bucket = int(min_bucket or manifest["min_bucket"])
         self.max_batch = int(max_batch or manifest["max_batch"])
         if self.min_bucket < 1 or self.max_batch < self.min_bucket:
@@ -179,17 +196,35 @@ class ExportedScorer:
         out.append(self.max_batch)
         return out
 
+    def _request_shape(self, b: int):
+        base = (b, self.seq_len, self.num_features)
+        return base + (2,) if self.request_rank == 4 else base
+
     def warmup(self, batch_sizes: Optional[Sequence[int]] = None) -> None:
         """Compile every bucket shape before serving traffic."""
         for b in (batch_sizes or self.buckets()):
-            out = self.call(np.zeros((b, self.seq_len, self.num_features),
-                                     np.float32))
+            out = self.call(np.zeros(self._request_shape(b), np.float32))
             np.asarray(out.mse)          # force completion (readback)
 
     def score(self, W: np.ndarray) -> Dict[str, np.ndarray]:
-        """Score an (N, T, D) raw window stack; same outputs and padded-shape
-        policy as ``HybridScorer.score``."""
-        return score_bucketed(self.call, W, self.min_bucket, self.max_batch)
+        """Score a raw request stack — (N, T, D) windows for 4DOF-layout
+        artifacts, (N, T, C, 2) stacked [clean, raw] for openLAB ones; same
+        outputs and padded-shape policy as the in-process scorers."""
+        return score_bucketed(self.call, W, self.min_bucket, self.max_batch,
+                              ndim=self.request_rank)
+
+    def score_pair(self, Xc: np.ndarray, Xr: np.ndarray
+                   ) -> Dict[str, np.ndarray]:
+        """openLAB artifacts only: score clean/raw stacks given separately."""
+        if self.request_rank != 4:
+            raise ValueError("score_pair is for openLAB-pipeline artifacts; "
+                             "this artifact takes (N, T, D) windows")
+        Xc = np.asarray(Xc, np.float32)
+        Xr = np.asarray(Xr, np.float32)
+        if Xc.shape != Xr.shape:
+            raise ValueError(f"clean/raw shapes differ: {Xc.shape} vs "
+                             f"{Xr.shape}")
+        return self.score(np.stack([Xc, Xr], axis=-1))
 
     def warmup_series(self, stride: int = 1,
                       batch_sizes: Optional[Sequence[int]] = None) -> None:
@@ -213,6 +248,11 @@ class ExportedScorer:
         serving path so indexing cannot diverge (serve.py mesh fallback)."""
         from shm_tpu.data.windows import make_windows
 
+        if self.request_rank == 4:
+            raise ValueError(
+                "openLAB-pipeline artifacts have no raw-series path "
+                "(cleaning is a per-run cascade owned by extraction); "
+                "score extracted [clean, raw] window pairs instead")
         x = np.asarray(x, np.float32)
         if x.ndim != 2:
             raise ValueError(f"expected a (T_total, D) series, got {x.shape}")
@@ -243,14 +283,25 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
         prog="python -m shm_tpu.export",
         description="Export trained 4DOF-layout artifacts to a standalone "
                     ".shmx scoring program (StableHLO, weights baked in).")
-    p.add_argument("--root", required=True,
-                   help="artifact root written by shm_tpu.cli.stage4dof")
+    p.add_argument("--root", default=None,
+                   help="4DOF-layout artifact root (shm_tpu.cli.stage4dof)")
+    p.add_argument("--openlab", default=None, metavar="ROOT",
+                   help="openLAB artifact root instead of --root (exports "
+                        "the CNN-stage-2 bridge pipeline; rank-4 "
+                        "[clean, raw] requests)")
     p.add_argument("--out", required=True, help="output .shmx path")
     p.add_argument("--platforms", default="cpu,tpu",
                    help="comma-separated lowering platforms (default cpu,tpu)")
     args = p.parse_args(argv)
+    if (args.root is None) == (args.openlab is None):
+        p.error("exactly one of --root / --openlab is required")
 
-    scorer = HybridScorer.from_artifacts(args.root)
+    if args.openlab is not None:
+        from shm_tpu.serve_openlab import OpenLabScorer
+
+        scorer = OpenLabScorer.from_artifacts(args.openlab)
+    else:
+        scorer = HybridScorer.from_artifacts(args.root)
     out = save_exported_scorer(
         scorer, args.out, platforms=tuple(args.platforms.split(",")))
     size_kb = out.stat().st_size / 1024

@@ -360,6 +360,43 @@ class OpenLabScorer:
         out["p_struct"] = p.astype(np.float32)
         return out
 
+    def export_program(self):
+        """A jitted ``f(X) -> HybridOutputs-tuple`` with every weight,
+        statistic, and threshold closed over as a program constant — the
+        :mod:`shm_tpu.export` serialization entry point (CNN stage-2 only:
+        classical modes depend on host-side sklearn feature transforms).
+
+        Uses the portable XLA gate regardless of ``use_fused_gate`` — the
+        Pallas kernel's Mosaic payload is not export-stable (see
+        shm_tpu/export.py module docstring)."""
+        if self.stage2 != "cnn":
+            raise ValueError(
+                f"only stage2='cnn' exports (got {self.stage2!r}); classical "
+                "stage-2 needs host feature transforms at request time")
+        ch = jnp.asarray(self.ch_idx, jnp.int32)
+        clip_z = self.clip_z
+        vae_apply, cnn_apply = self.vae_model.apply, self.cnn_model.apply
+        vp, cv = self.vae_params, self.cnn_variables
+        gmu, gsd = self.gate_mu, self.gate_sd
+        cmu, csd = self.cnn_mu, self.cnn_sd
+        thr = jnp.float32(self.threshold)
+        thr2 = jnp.float32(self.stage2_threshold)
+
+        @jax.jit
+        def closed(X):
+            Xc, Xr = X[..., 0], X[..., 1]
+            Zg = standardize_clip_device(Xc[:, :, ch], gmu, gsd, clip_z)
+            recon, _, _ = vae_apply({"params": vp}, Zg, sample=False)
+            mse = ((Zg - recon) ** 2).mean(axis=(1, 2))
+            anom = mse > thr
+            Za = standardize_clip_device(Xr, cmu, csd, clip_z)[..., None]
+            logits = cnn_apply(cv, Za, train=False)
+            p_st = jax.nn.softmax(logits, axis=1)[:, 1]
+            y3 = jnp.where(anom,
+                           jnp.where(p_st >= thr2, 2, 1).astype(jnp.int32), 0)
+            return (mse, anom, y3, jnp.where(anom, p_st, 0.0), logits)
+        return closed
+
     def score_pair(self, Xc: np.ndarray, Xr: np.ndarray,
                    features: Optional[np.ndarray] = None
                    ) -> Dict[str, np.ndarray]:

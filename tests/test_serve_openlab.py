@@ -215,3 +215,33 @@ def test_http_daemon_openlab_mode(scorer, subset):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_export_roundtrip_openlab(scorer, subset, tmp_path):
+    """CNN-mode OpenLabScorer exports to .shmx and the reloaded program
+    scores [clean, raw] pairs identically; ML modes refuse (host feature
+    transforms cannot be baked into a device program)."""
+    from shm_tpu.export import load_exported_scorer, save_exported_scorer
+
+    Xc, Xr, Xf = subset
+    path = tmp_path / "bridge.shmx"
+    save_exported_scorer(scorer, path, platforms=("cpu",))
+    loaded = load_exported_scorer(path)
+    m = loaded.manifest
+    assert m["pipeline"] == "openlab" and m["request_rank"] == 4
+    assert m["seq_len"] == 200 and m["num_features"] == 4
+    assert m["stage2_threshold"] == scorer.stage2_threshold
+
+    got = loaded.score_pair(Xc, Xr)
+    ref = scorer.score_pair(Xc, Xr)
+    np.testing.assert_allclose(got["mse"], ref["mse"], rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(got["anomalous"].astype(bool),
+                                  ref["anomalous"].astype(bool))
+    np.testing.assert_array_equal(got["y_pred"], ref["y_pred"])
+
+    with pytest.raises(ValueError, match="series"):
+        loaded.score_series(np.zeros((300, 4), np.float32))
+    ml = OpenLabScorer.from_artifacts(ROOT, stage2="rf",
+                                      min_bucket=16, max_batch=64)
+    with pytest.raises(ValueError, match="cnn"):
+        save_exported_scorer(ml, tmp_path / "nope.shmx", platforms=("cpu",))
