@@ -23,7 +23,12 @@ Subpackages
 - ``shm_tpu.ops``       Pallas TPU kernels for the hot paths
 - ``shm_tpu.train``     optax training loops (VAE, CNN) with KL annealing etc.
 - ``shm_tpu.pipeline``  fused hybrid gate->attribution inference
-- ``shm_tpu.serve``     production serving (bucket-batched ``HybridScorer``)
+- ``shm_tpu.serve``     production serving (bucket-batched ``HybridScorer``,
+  streaming ``StreamScorer``); ``shm_tpu.serve_http`` HTTP daemon,
+  ``shm_tpu.serve_batch`` cross-request dynamic batching,
+  ``shm_tpu.serve_openlab`` the bridge-stage fused scorer
+- ``shm_tpu.export``    AOT deployment: jax.export (StableHLO) ``.shmx``
+  artifacts with weights baked in; reload + score with no model code
 - ``shm_tpu.evals``     metrics (confusion matrix, PRF, ROC/PR) on-device
 - ``shm_tpu.parallel``  mesh construction and data-parallel train/infer steps
 - ``shm_tpu.utils``     IO, checkpointing, plotting
