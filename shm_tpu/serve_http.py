@@ -398,14 +398,14 @@ def main(argv=None) -> None:
     if args.openlab is not None and args.shmx is not None:
         ap.error("--openlab and --shmx are mutually exclusive")
     if args.openlab is not None:
-        if args.devices and args.devices > 1:
-            ap.error("--devices does not apply to --openlab (single-device "
-                     "scorer; shard upstream of the daemon)")
         from shm_tpu.serve_openlab import OpenLabScorer
 
-        scorer = OpenLabScorer.from_artifacts(
-            args.openlab, min_bucket=args.min_bucket,
-            max_batch=args.max_batch)
+        olkw = dict(min_bucket=args.min_bucket, max_batch=args.max_batch)
+        if args.devices and args.devices > 1:
+            from shm_tpu.parallel import make_mesh
+
+            olkw["mesh"] = make_mesh(args.devices)
+        scorer = OpenLabScorer.from_artifacts(args.openlab, **olkw)
         print(f"[serve] loaded openLAB artifacts from {args.openlab}; "
               f"buckets={list(scorer.buckets())} T={scorer.seq_len} "
               f"request=(N, {scorer.seq_len}, {scorer.num_features}, 2)")

@@ -92,9 +92,21 @@ class OpenLabScorer:
                  min_bucket: int = 256, max_batch: int = 8192,
                  seq_len: Optional[int] = None,
                  num_channels: Optional[int] = None,
-                 use_fused_gate: Optional[bool] = None):
+                 use_fused_gate: Optional[bool] = None,
+                 mesh=None):
         if min_bucket < 1 or max_batch < min_bucket:
             raise ValueError("need 1 <= min_bucket <= max_batch")
+        if mesh is not None:
+            # multi-chip serving: shard_map over the request batch axis —
+            # each device runs the full gate(+CNN) program on its shard
+            # (works with the Pallas gate kernel too; same rationale as
+            # HybridScorer/make_dp_hybrid_shardmap). Buckets must divide
+            # evenly across the mesh.
+            n_dev = mesh.devices.size
+            if min_bucket % n_dev or max_batch % n_dev:
+                raise ValueError(
+                    f"min_bucket/max_batch must be multiples of the mesh "
+                    f"size ({n_dev}); got {min_bucket}/{max_batch}")
         if stage2 != "cnn" and stage2 not in ML_STAGE2:
             raise ValueError(f"unknown stage2 {stage2!r}; "
                              f"expected 'cnn' or one of {ML_STAGE2}")
@@ -136,8 +148,8 @@ class OpenLabScorer:
                               and getattr(vae_model, "cell", "lstm")
                               in ("lstm", "min_gru"))
         self.use_fused_gate = bool(use_fused_gate)
+        self.mesh = mesh
         self._fn = self._build_fn()
-        self.mesh = None            # daemon surface parity (single-device)
         self.use_fused_vae = self.use_fused_gate
 
     #: request tensor rank — the HTTP daemon validates (N, T, C, 2) bodies
@@ -167,6 +179,29 @@ class OpenLabScorer:
             {"params": vae_params}, Zg, sample=False)
         return ((Zg - recon) ** 2).mean(axis=(1, 2))
 
+    def _wrap(self, local, n_batch_args: int):
+        """jit ``local``, sharding the batch-leading arg over the mesh when
+        one is configured (every other arg replicated)."""
+        if self.mesh is None:
+            return jax.jit(local)
+        from jax.sharding import PartitionSpec as P
+
+        n_args = local.__code__.co_argcount
+        in_specs = tuple(P("data") if i == n_batch_args else P()
+                         for i in range(n_args))
+        out_specs = jax.tree_util.tree_map(lambda _: P("data"),
+                                           self._out_spec_template())
+        sm = jax.shard_map(local, mesh=self.mesh, in_specs=in_specs,
+                           out_specs=out_specs, check_vma=False)
+        return jax.jit(sm)
+
+    def _out_spec_template(self):
+        # pytree structure of the local fn's outputs, for out_specs mapping
+        if self.stage2 == "cnn":
+            return HybridOutputs(mse=0, anomalous=0, y_pred=0, p_struct=0,
+                                 logits=0)
+        return (0, 0)
+
     def _build_fn(self):
         # params/stats ride as ARGUMENTS (closure constants re-stage per call
         # on this platform — repo convention); only static config is closed
@@ -175,7 +210,6 @@ class OpenLabScorer:
         clip_z = self.clip_z
 
         if self.stage2 == "cnn":
-            @jax.jit
             def fn(vae_params, cnn_variables, X, gmu, gsd, cmu, csd,
                    thr, thr2):
                 # X: (b, T, C, 2) stacked [clean, raw]
@@ -192,15 +226,14 @@ class OpenLabScorer:
                 return HybridOutputs(
                     mse=mse, anomalous=anom, y_pred=y3,
                     p_struct=jnp.where(anom, p_st, 0.0), logits=logits)
-            return fn
+            return self._wrap(fn, n_batch_args=2)
 
-        @jax.jit
         def gate_fn(vae_params, X, gmu, gsd, thr):
             Xc = X[..., 0]
             Zg = standardize_clip_device(Xc[:, :, ch], gmu, gsd, clip_z)
             mse = self._gate_mse(vae_params, Zg)
             return mse, mse > thr
-        return gate_fn
+        return self._wrap(gate_fn, n_batch_args=1)
 
     # ------------------------------------------------------------------
     @classmethod

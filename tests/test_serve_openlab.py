@@ -245,3 +245,25 @@ def test_export_roundtrip_openlab(scorer, subset, tmp_path):
                                       min_bucket=16, max_batch=64)
     with pytest.raises(ValueError, match="cnn"):
         save_exported_scorer(ml, tmp_path / "nope.shmx", platforms=("cpu",))
+
+
+def test_mesh_serving_matches_single_device(scorer, subset):
+    """mesh= shard_map serving over 8 virtual devices must match the
+    single-device scorer on every output (params replicated, request batch
+    sharded; buckets are mesh-divisible by construction)."""
+    from shm_tpu.parallel import make_mesh
+
+    Xc, Xr, _ = subset
+    sharded = OpenLabScorer.from_artifacts(ROOT, mesh=make_mesh(8),
+                                           min_bucket=16, max_batch=64)
+    got = sharded.score_pair(Xc, Xr)
+    ref = scorer.score_pair(Xc, Xr)
+    np.testing.assert_allclose(got["mse"], ref["mse"], rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(got["anomalous"].astype(bool),
+                                  ref["anomalous"].astype(bool))
+    np.testing.assert_array_equal(got["y_pred"], ref["y_pred"])
+    np.testing.assert_allclose(got["p_struct"], ref["p_struct"],
+                               rtol=1e-4, atol=1e-5)
+    with pytest.raises(ValueError, match="multiples"):
+        OpenLabScorer.from_artifacts(ROOT, mesh=make_mesh(8),
+                                     min_bucket=12, max_batch=60)
