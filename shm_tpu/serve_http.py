@@ -220,7 +220,7 @@ class _Handler(BaseHTTPRequestHandler):
         rank = int(getattr(self.scorer, "request_rank", 3))
 
         if self.path == "/score_series":
-            if not hasattr(self.scorer, "score_series"):
+            if not hasattr(self.scorer, "score_series") or rank == 4:
                 self._err(422, "this scorer has no raw-series endpoint "
                                "(openLAB cleaning is a per-run cascade that "
                                "lives in extraction — POST extracted window "

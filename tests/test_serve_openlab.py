@@ -267,3 +267,53 @@ def test_mesh_serving_matches_single_device(scorer, subset):
     with pytest.raises(ValueError, match="multiples"):
         OpenLabScorer.from_artifacts(ROOT, mesh=make_mesh(8),
                                      min_bucket=12, max_batch=60)
+
+
+def test_http_daemon_serves_openlab_shmx(scorer, subset, tmp_path):
+    """The --shmx daemon mode composes with openLAB artifacts: a deserialized
+    rank-4 .shmx serves /score round trips and 422s /score_series."""
+    import json
+    import threading
+    import urllib.error
+    import urllib.request
+
+    from shm_tpu.export import load_exported_scorer, save_exported_scorer
+    from shm_tpu.serve_http import make_server
+
+    Xc, Xr, _ = subset
+    path = tmp_path / "bridge.shmx"
+    save_exported_scorer(scorer, path, platforms=("cpu",))
+    loaded = load_exported_scorer(path, min_bucket=16, max_batch=64)
+    srv = make_server(loaded, port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        assert srv.warm_event.wait(timeout=600)
+        assert srv.RequestHandlerClass.warm_error is None
+
+        with urllib.request.urlopen(base + "/info", timeout=30) as r:
+            info = json.loads(r.read())
+        assert info["exported"] is True and info["seq_len"] == 200
+
+        X = np.stack([Xc[:5], Xr[:5]], axis=-1).astype(np.float32)
+        req = urllib.request.Request(
+            base + "/score", data=X.tobytes(),
+            headers={"Content-Type": "application/octet-stream",
+                     "X-Shape": "5,200,4,2"})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            out = json.loads(r.read())
+        ref = scorer.score(X)
+        assert out["y_pred"] == [int(v) for v in ref["y_pred"]]
+
+        req = urllib.request.Request(
+            base + "/score_series",
+            data=np.zeros((300, 4), np.float32).tobytes(),
+            headers={"Content-Type": "application/octet-stream",
+                     "X-Shape": "300,4"})
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=30)
+        assert ei.value.code == 422
+    finally:
+        srv.shutdown()
+        srv.server_close()
