@@ -421,7 +421,7 @@ def cmd_train_cnn(paths: Paths, cfg: OpenLabConfig, epochs: Optional[int] = None
           f"({res.seconds:.1f}s); tuned t={tuned['t']:.3f}")
 
 
-def _load_openlab_cnn(paths: Paths, cfg: OpenLabConfig):
+def _load_openlab_cnn(paths: Paths, cfg: OpenLabConfig, conv_impl=None):
     from shm_tpu.models.cnn import inference_conv_impl
 
     art = paths.cnn_dir / "artifacts"
@@ -429,8 +429,10 @@ def _load_openlab_cnn(paths: Paths, cfg: OpenLabConfig):
     # inference graph compiles in ~4.5s where the im2col concats cost ~154s
     # at this batch size (round-3 probe; steady-state within 9%, max prob
     # diff 1.3e-3 bf16). Training keeps im2col (the ~115s lax TRAIN-step
-    # compile is the cost im2col exists to avoid).
-    model = CNNOpenLab(dropout=cfg.cnn.dropout, conv_impl=inference_conv_impl())
+    # compile is the cost im2col exists to avoid). conv_impl= overrides the
+    # backend default (AOT export targeting the OTHER platform needs it).
+    model = CNNOpenLab(dropout=cfg.cnn.dropout,
+                       conv_impl=conv_impl or inference_conv_impl())
     template = model.init({"params": jax.random.PRNGKey(0)},
                           jnp.zeros((2, cfg.seq_len, 4, 1)))
     variables = load_params(template, art / "cnn_model_openlab.msgpack")

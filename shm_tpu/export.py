@@ -56,7 +56,7 @@ import jax.numpy as jnp
 from jax import export as jax_export
 
 from shm_tpu.pipeline import HybridOutputs, make_hybrid_fn
-from shm_tpu.serve import HybridScorer, bucket_size, score_bucketed
+from shm_tpu.serve import HybridScorer, bucket_series, score_bucketed
 
 FORMAT_VERSION = 1
 _PROGRAM_ENTRY = "program.jax_export"
@@ -139,6 +139,23 @@ def save_exported_scorer(scorer, path: str | Path, *,
     }
     if rank == 4:
         manifest["stage2_threshold"] = float(scorer.stage2_threshold)
+    conv_impl = getattr(scorer.cnn_model, "conv_impl", None)
+    if conv_impl is not None:
+        # the conv lowering is frozen at trace time, so a multi-platform
+        # artifact carries the EXPORTING host's choice to both backends;
+        # the costs invert by backend (models/cnn.py::inference_conv_impl),
+        # so record it and flag the pathological combination
+        manifest["conv_impl"] = str(conv_impl)
+        if conv_impl == "lax" and "cpu" in platforms and rank == 4:
+            import warnings
+
+            warnings.warn(
+                "exporting the openLAB CNN with conv_impl='lax' for a CPU "
+                "target: XLA-CPU lax.conv is pathologically slow for this "
+                "model (~150s/batch measured). For CPU-serving artifacts "
+                "build the scorer with from_artifacts(conv_impl='im2col') "
+                "(or pass --conv-impl im2col to python -m shm_tpu.export).",
+                stacklevel=2)
     if extra_manifest:
         manifest.update(extra_manifest)
     path = Path(path)
@@ -167,6 +184,8 @@ class ExportedScorer:
     # portable XLA lowering (module docstring)
     mesh = None
     use_fused_vae = False
+    exported = True          # /info introspection (getattr-based, not
+                             # class-name string matching)
 
     def __init__(self, exported: "jax_export.Exported", manifest: Dict, *,
                  min_bucket: Optional[int] = None,
@@ -177,8 +196,12 @@ class ExportedScorer:
         self.num_features = int(manifest["num_features"])
         self.threshold = float(manifest["threshold"])
         self.request_rank = int(manifest.get("request_rank", 3))
-        self.min_bucket = int(min_bucket or manifest["min_bucket"])
-        self.max_batch = int(max_batch or manifest["max_batch"])
+        # explicit `is not None`: a caller's invalid 0 must hit the range
+        # check below, not silently fall back to the manifest value
+        self.min_bucket = int(manifest["min_bucket"] if min_bucket is None
+                              else min_bucket)
+        self.max_batch = int(manifest["max_batch"] if max_batch is None
+                             else max_batch)
         if self.min_bucket < 1 or self.max_batch < self.min_bucket:
             raise ValueError("need 1 <= min_bucket <= max_batch")
 
@@ -189,12 +212,7 @@ class ExportedScorer:
         return HybridOutputs(*self._exported.call(jnp.asarray(W, jnp.float32)))
 
     def buckets(self) -> Sequence[int]:
-        out, b = [], self.min_bucket
-        while b < self.max_batch:
-            out.append(b)
-            b *= 2
-        out.append(self.max_batch)
-        return out
+        return bucket_series(self.min_bucket, self.max_batch)
 
     def _request_shape(self, b: int):
         base = (b, self.seq_len, self.num_features)
@@ -219,12 +237,9 @@ class ExportedScorer:
         if self.request_rank != 4:
             raise ValueError("score_pair is for openLAB-pipeline artifacts; "
                              "this artifact takes (N, T, D) windows")
-        Xc = np.asarray(Xc, np.float32)
-        Xr = np.asarray(Xr, np.float32)
-        if Xc.shape != Xr.shape:
-            raise ValueError(f"clean/raw shapes differ: {Xc.shape} vs "
-                             f"{Xr.shape}")
-        return self.score(np.stack([Xc, Xr], axis=-1))
+        from shm_tpu.serve_openlab import stack_pair
+
+        return self.score(stack_pair(Xc, Xr))
 
     def warmup_series(self, stride: int = 1,
                       batch_sizes: Optional[Sequence[int]] = None) -> None:
@@ -292,16 +307,22 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     p.add_argument("--out", required=True, help="output .shmx path")
     p.add_argument("--platforms", default="cpu,tpu",
                    help="comma-separated lowering platforms (default cpu,tpu)")
+    p.add_argument("--conv-impl", default=None, choices=("lax", "im2col"),
+                   help="freeze this CNN conv lowering into the artifact "
+                        "instead of the exporting host's backend default "
+                        "(lax is fast on TPU, im2col on CPU — the lowering "
+                        "is baked in at trace time)")
     args = p.parse_args(argv)
     if (args.root is None) == (args.openlab is None):
         p.error("exactly one of --root / --openlab is required")
 
+    kw = {"conv_impl": args.conv_impl} if args.conv_impl else {}
     if args.openlab is not None:
         from shm_tpu.serve_openlab import OpenLabScorer
 
-        scorer = OpenLabScorer.from_artifacts(args.openlab)
+        scorer = OpenLabScorer.from_artifacts(args.openlab, **kw)
     else:
-        scorer = HybridScorer.from_artifacts(args.root)
+        scorer = HybridScorer.from_artifacts(args.root, **kw)
     out = save_exported_scorer(
         scorer, args.out, platforms=tuple(args.platforms.split(",")))
     size_kb = out.stat().st_size / 1024

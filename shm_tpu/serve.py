@@ -54,6 +54,19 @@ def bucket_size(n: int, min_bucket: int, max_batch: int) -> int:
     return min(b, max_batch)
 
 
+def bucket_series(min_bucket: int, max_batch: int) -> Sequence[int]:
+    """Every padded batch shape the ``min_bucket * 2^k`` policy can dispatch
+    — the enumeration half of the shared policy (``bucket_size`` is the
+    sizing half); every scorer's ``buckets()``/``warmup()`` uses this ONE
+    helper so warmed shapes can never drift from dispatched shapes."""
+    out, b = [], min_bucket
+    while b < max_batch:
+        out.append(b)
+        b *= 2
+    out.append(max_batch)
+    return out
+
+
 def score_bucketed(fn, W: np.ndarray, min_bucket: int, max_batch: int,
                    ndim: int = 3) -> Dict[str, np.ndarray]:
     """Run ``fn(Wb) -> HybridOutputs`` over a batch-leading window stack in
@@ -198,12 +211,7 @@ class HybridScorer:
 
     def buckets(self) -> Sequence[int]:
         """Every padded batch shape this scorer can dispatch."""
-        out, b = [], self.min_bucket
-        while b < self.max_batch:
-            out.append(b)
-            b *= 2
-        out.append(self.max_batch)
-        return out
+        return bucket_series(self.min_bucket, self.max_batch)
 
     def warmup(self, batch_sizes: Optional[Sequence[int]] = None,
                seq_len: Optional[int] = None,
@@ -395,4 +403,5 @@ class StreamScorer:
         self._next_start = 0
 
 
-__all__ = ["HybridScorer", "StreamScorer", "bucket_size", "score_bucketed"]
+__all__ = ["HybridScorer", "StreamScorer", "bucket_size", "bucket_series",
+           "score_bucketed"]

@@ -128,7 +128,7 @@ class _Handler(BaseHTTPRequestHandler):
                 "num_features": int(s.num_features),
                 "threshold": float(np.asarray(s.threshold)),
                 "use_fused_vae": bool(getattr(s, "use_fused_vae", False)),
-                "exported": s.__class__.__name__ == "ExportedScorer",
+                "exported": bool(getattr(s, "exported", False)),
                 "mesh_devices": (int(s.mesh.devices.size)
                                  if s.mesh is not None else None),
                 "labels": {"0": "Normal", "1": "Sensor Fault",
@@ -259,26 +259,19 @@ class _Handler(BaseHTTPRequestHandler):
             self._respond_scores(out, len(out["mse"]))
             return
 
-        if rank == 4:
-            # openLAB scorers take (N, T, C, 2) stacked [clean, raw] windows
-            W = self._read_array(4, "windows", "N,T,C,2")
-            if W is None:
-                return
-            if W.shape[0] and (T is not None and W.shape[1] != T
-                               or W.shape[2] != D or W.shape[3] != 2):
-                self._err(422, f"scorer serves (N, {T}, {D}, 2) stacked "
-                               f"[clean, raw] windows; got {tuple(W.shape)}")
-                return
-        else:
-            W = self._read_array(3, "windows", "N,T,D")
-            if W is None:
-                return
-            if W.shape[0] and (T is not None and W.shape[1] != T
-                               or W.shape[2] != D):
-                self._err(422, f"scorer serves (N, {T}, {D}) windows; "
-                               f"got {tuple(W.shape)} — a mismatched T would "
-                               "recompile every bucket")
-                return
+        # expected trailing dims, derived once from the scorer surface
+        # (rank 3: (N, T, D) windows; rank 4: (N, T, C, 2) [clean, raw])
+        want = (T, D) + ((2,) if rank == 4 else ())
+        W = self._read_array(rank, "windows",
+                             "N,T,C,2" if rank == 4 else "N,T,D")
+        if W is None:
+            return
+        if W.shape[0] and any(
+                e is not None and g != e for g, e in zip(W.shape[1:], want)):
+            self._err(422, f"scorer serves (N, {', '.join(map(str, want))}) "
+                           f"requests; got {tuple(W.shape)} — a mismatched "
+                           "shape would recompile every bucket")
+            return
         try:
             out = (self.score_fn or self.scorer.score)(W)
         except Exception as e:                    # pragma: no cover - defense

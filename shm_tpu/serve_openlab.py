@@ -48,7 +48,6 @@ Equivalence with ``cmd_test_hybrid`` is pinned in tests/test_serve_openlab.py.
 
 from __future__ import annotations
 
-from functools import partial
 from pathlib import Path
 from typing import Dict, Optional, Sequence
 
@@ -57,11 +56,22 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from shm_tpu.pipeline import HybridOutputs, concat_hybrid_outputs
-from shm_tpu.serve import bucket_size, score_bucketed
+from shm_tpu.pipeline import HybridOutputs
+from shm_tpu.serve import bucket_series, score_bucketed
 
 #: stage-2 models scorable on device (Codes/08_train_ml_baselines.py zoo)
 ML_STAGE2 = ("cart", "rf", "gb", "hgb", "svm_rbf")
+
+
+def stack_pair(Xc: np.ndarray, Xr: np.ndarray) -> np.ndarray:
+    """Stack clean/raw window stacks into the (N, T, C, 2) request tensor —
+    the ONE pairing helper shared by :class:`OpenLabScorer` and
+    :class:`shm_tpu.export.ExportedScorer` (shape mismatch raises here)."""
+    Xc = np.asarray(Xc, np.float32)
+    Xr = np.asarray(Xr, np.float32)
+    if Xc.shape != Xr.shape:
+        raise ValueError(f"clean/raw shapes differ: {Xc.shape} vs {Xr.shape}")
+    return np.stack([Xc, Xr], axis=-1)
 
 
 def standardize_clip_device(X: jax.Array, mu: jax.Array, sd: jax.Array,
@@ -93,6 +103,8 @@ class OpenLabScorer:
                  seq_len: Optional[int] = None,
                  num_channels: Optional[int] = None,
                  use_fused_gate: Optional[bool] = None,
+                 gate_interpret: bool = False,
+                 gate_io_dtype=jnp.bfloat16,
                  mesh=None):
         if min_bucket < 1 or max_batch < min_bucket:
             raise ValueError("need 1 <= min_bucket <= max_batch")
@@ -148,6 +160,12 @@ class OpenLabScorer:
                               and getattr(vae_model, "cell", "lstm")
                               in ("lstm", "min_gru"))
         self.use_fused_gate = bool(use_fused_gate)
+        # interpret lowering + io dtype exist so the fused-gate WIRING is
+        # testable off-TPU (same precedent as make_hybrid_fn's
+        # fused_interpret; the compiled bf16 kernel numerics are certified
+        # on the chip — BENCHMARKS.md openLAB serving section)
+        self.gate_interpret = bool(gate_interpret)
+        self.gate_io_dtype = gate_io_dtype
         self.mesh = mesh
         self._fn = self._build_fn()
         self.use_fused_vae = self.use_fused_gate
@@ -166,14 +184,24 @@ class OpenLabScorer:
 
     def _gate_mse(self, vae_params, Zg):
         if self.use_fused_gate:
-            if getattr(self.vae_model, "cell", "lstm") == "min_gru":
+            cell = getattr(self.vae_model, "cell", "lstm")
+            if cell == "min_gru":
                 from shm_tpu.ops import fused_mingru_gate as gate_fn
+                extra = dict(interpret=self.gate_interpret,
+                             emulate=self.gate_interpret)
             else:
                 from shm_tpu.ops import fused_vae_gate as gate_fn
+                extra = dict(interpret=self.gate_interpret)
+            if self.gate_interpret:
+                # interpret lowering executes on the host backend, where
+                # XLA-CPU cannot run bf16 dots — compute in the io dtype
+                # (same as make_hybrid_fn's fused_dtype under interpret)
+                extra["dtype"] = self.gate_io_dtype
             mse, _ = gate_fn(vae_params, Zg,
                              num_layers=self.vae_model.num_layers,
                              use_layernorm=self.vae_model.use_layernorm,
-                             with_residual=False, io_dtype=jnp.bfloat16)
+                             with_residual=False,
+                             io_dtype=self.gate_io_dtype, **extra)
             return mse
         recon, _, _ = self.vae_model.apply(
             {"params": vae_params}, Zg, sample=False)
@@ -253,6 +281,7 @@ class OpenLabScorer:
         from shm_tpu.utils.io import load_json
 
         cfg = cfg or OpenLabConfig()
+        conv_impl = kw.pop("conv_impl", None)
         paths = Paths(str(root), raw_dir="")
         model, params, mu, sd, manifest = _load_openlab_vae(paths, cfg)
         thr = float(load_json(paths.vae_val_dir / "artifacts"
@@ -263,7 +292,8 @@ class OpenLabScorer:
         common.update(kw)
 
         if stage2 == "cnn":
-            cnn_model, cnn_vars, cmu, csd = _load_openlab_cnn(paths, cfg)
+            cnn_model, cnn_vars, cmu, csd = _load_openlab_cnn(
+                paths, cfg, conv_impl=conv_impl)
             thr2 = float(np.load(paths.cnn_val_dir / "artifacts"
                                  / "cnn_best_threshold.npy").ravel()[0])
             return cls(model, params, mu, sd, stage2="cnn",
@@ -320,12 +350,7 @@ class OpenLabScorer:
 
     # ------------------------------------------------------------------
     def buckets(self) -> Sequence[int]:
-        out, b = [], self.min_bucket
-        while b < self.max_batch:
-            out.append(b)
-            b *= 2
-        out.append(self.max_batch)
-        return out
+        return bucket_series(self.min_bucket, self.max_batch)
 
     def warmup(self, batch_sizes: Optional[Sequence[int]] = None) -> None:
         """Compile every bucket shape before serving traffic."""
@@ -383,8 +408,8 @@ class OpenLabScorer:
         # data-dependent — classical models are cheap and fixed-shape padding
         # buys nothing without a compiled program per bucket)
         anom = out["anomalous"].astype(bool)
-        y3 = np.zeros(X.shape[0], np.int64)
-        p = np.zeros(X.shape[0], np.float64)
+        y3 = np.zeros(X.shape[0], np.int32)       # dtype matches the CNN
+        p = np.zeros(X.shape[0], np.float64)      # mode's device outputs
         if anom.any():
             p_st = self._ml_predict(features[anom])
             y3[anom] = np.where(p_st >= self.stage2_threshold, 2, 1)
@@ -435,12 +460,8 @@ class OpenLabScorer:
                    ) -> Dict[str, np.ndarray]:
         """Score clean/raw window stacks given separately (the extraction
         stage's native layout: ``X_clean.npy`` / ``X_raw.npy``)."""
-        Xc = np.asarray(Xc, np.float32)
-        Xr = np.asarray(Xr, np.float32)
-        if Xc.shape != Xr.shape:
-            raise ValueError(f"clean/raw shapes differ: {Xc.shape} vs "
-                             f"{Xr.shape}")
-        return self.score(np.stack([Xc, Xr], axis=-1), features=features)
+        return self.score(stack_pair(Xc, Xr), features=features)
 
 
-__all__ = ["OpenLabScorer", "ML_STAGE2", "standardize_clip_device"]
+__all__ = ["OpenLabScorer", "ML_STAGE2", "stack_pair",
+           "standardize_clip_device"]

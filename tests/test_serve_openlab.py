@@ -317,3 +317,61 @@ def test_http_daemon_serves_openlab_shmx(scorer, subset, tmp_path):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_fused_gate_wiring_matches_xla(scorer, subset):
+    """The TPU production gate path (fused Pallas kernel inside the scorer's
+    program, incl. under mesh) certified off-chip: interpret lowering with
+    f32 io must match the XLA gate near-exactly (CLAUDE.md: every alternative
+    compute path needs an equivalence test; the compiled bf16 kernel's
+    numerics are certified on the chip — BENCHMARKS.md openLAB serving)."""
+    import jax.numpy as jnp
+
+    from shm_tpu.parallel import make_mesh
+
+    Xc, Xr, _ = subset
+    fused = OpenLabScorer.from_artifacts(
+        ROOT, use_fused_gate=True, gate_interpret=True,
+        gate_io_dtype=jnp.float32, min_bucket=16, max_batch=64)
+    got = fused.score_pair(Xc, Xr)
+    ref = scorer.score_pair(Xc, Xr)
+    np.testing.assert_allclose(got["mse"], ref["mse"], rtol=2e-4, atol=2e-5)
+    np.testing.assert_array_equal(got["anomalous"].astype(bool),
+                                  ref["anomalous"].astype(bool))
+    np.testing.assert_array_equal(got["y_pred"], ref["y_pred"])
+
+    mesh_fused = OpenLabScorer.from_artifacts(
+        ROOT, use_fused_gate=True, gate_interpret=True,
+        gate_io_dtype=jnp.float32, mesh=make_mesh(8),
+        min_bucket=16, max_batch=64)
+    got_m = mesh_fused.score_pair(Xc, Xr)
+    np.testing.assert_allclose(got_m["mse"], ref["mse"], rtol=2e-4, atol=2e-5)
+    np.testing.assert_array_equal(got_m["y_pred"], ref["y_pred"])
+
+
+def test_conv_impl_override_plumbs_through(scorer, subset, tmp_path):
+    """from_artifacts(conv_impl=...) freezes the requested CNN lowering into
+    the scorer (and hence into an exported artifact — export.py records it
+    in the manifest and warns on the lax+CPU openLAB combination, where
+    XLA-CPU lax.conv is ~150 s/batch). Decisions must match the default
+    lowering (im2col<->lax equivalence is pinned in tests/test_models.py;
+    this pins the serving/export plumbing)."""
+    import json
+    import zipfile
+
+    from shm_tpu.export import save_exported_scorer
+
+    Xc, Xr, _ = subset
+    lax_scorer = OpenLabScorer.from_artifacts(
+        ROOT, conv_impl="lax", min_bucket=16, max_batch=64)
+    assert lax_scorer.cnn_model.conv_impl == "lax"
+    got = lax_scorer.score_pair(Xc, Xr)
+    ref = scorer.score_pair(Xc, Xr)
+    np.testing.assert_array_equal(got["y_pred"], ref["y_pred"])
+
+    with pytest.warns(UserWarning, match="conv_impl='lax'"):
+        out = save_exported_scorer(lax_scorer, tmp_path / "lax.shmx",
+                                   platforms=("cpu",))
+    with zipfile.ZipFile(out) as zf:
+        manifest = json.loads(zf.read("manifest.json"))
+    assert manifest["conv_impl"] == "lax"
