@@ -114,10 +114,9 @@ class HybridScorer:
         if min_bucket < 1 or max_batch < min_bucket:
             raise ValueError("need 1 <= min_bucket <= max_batch")
         if use_fused_vae is None:
-            use_fused_vae = (jax.default_backend() in ("tpu", "axon")
-                             and vae_model.num_layers in (1, 2)
-                             and getattr(vae_model, "cell", "lstm")
-                             in ("lstm", "min_gru"))
+            from shm_tpu.ops import auto_fused_gate
+
+            use_fused_vae = auto_fused_gate(vae_model)
         if mesh is not None:
             # multi-chip serving: each device runs the full pipeline on its
             # batch shard (shard_map — works with the Pallas kernel too,
@@ -362,9 +361,12 @@ class StreamScorer:
         self.scorer = scorer
         self.stride = int(stride)
         self._D = int(np.asarray(scorer.mean).shape[-1])
-        # invariant: _buf[0] is the start sample of the NEXT unscored window
+        # invariant: the NEXT unscored window starts ``_skip`` samples past
+        # _buf[0] (``_skip`` > 0 only with stride > seq_len, where the gap
+        # samples between windows may not have arrived yet)
         self._buf = np.zeros((0, self._D), np.float32)
         self._next_start = 0          # global index of that window start
+        self._skip = 0                # gap samples still to drop on arrival
 
     @property
     def buffered_samples(self) -> int:
@@ -380,10 +382,16 @@ class StreamScorer:
         if x.ndim != 2 or x.shape[1] != self._D:
             raise ValueError(f"expected (n, {self._D}) samples, "
                              f"got {x.shape}")
+        if self._skip and x.shape[0]:
+            # stride > seq_len: the previous push consumed gap samples that
+            # had not arrived yet — drop them as they come in
+            d = min(self._skip, x.shape[0])
+            x = x[d:]
+            self._skip -= d
         self._buf = np.concatenate([self._buf, x]) if x.shape[0] else self._buf
         T, s = self.scorer.seq_len, self.stride
         L = self._buf.shape[0]
-        n = (L - T) // s + 1 if L >= T else 0
+        n = (L - T) // s + 1 if L >= T and not self._skip else 0
         starts = self._next_start + s * np.arange(n)
         if n == 0:
             out = {k: np.zeros((0,), np.float32)
@@ -391,8 +399,10 @@ class StreamScorer:
         else:
             out = self.scorer.score_series(self._buf[: (n - 1) * s + T],
                                            stride=s)
-            consumed = n * s
-            self._buf = self._buf[consumed:]
+            consumed = n * s              # can exceed L when stride > seq_len
+            drop = min(consumed, L)
+            self._buf = self._buf[drop:]
+            self._skip = consumed - drop
             self._next_start += consumed
         out["window_start"] = starts
         return out
@@ -401,6 +411,7 @@ class StreamScorer:
         """Drop buffered samples and restart stream indexing at 0."""
         self._buf = np.zeros((0, self._D), np.float32)
         self._next_start = 0
+        self._skip = 0
 
 
 __all__ = ["HybridScorer", "StreamScorer", "bucket_size", "bucket_series",

@@ -58,6 +58,10 @@ class DynamicBatcher:
         self.max_windows = int(max_windows or scorer.max_batch)
         self._q: "queue.SimpleQueue" = queue.SimpleQueue()
         self._closed = False
+        # makes "closed-check + enqueue" atomic against "set-closed +
+        # sentinel": without it a request could land BEHIND the close
+        # sentinel and block forever on its never-completed Future
+        self._lock = threading.Lock()
         self._thread = threading.Thread(target=self._loop, daemon=True,
                                         name="batch-dispatcher")
         self._thread.start()
@@ -85,17 +89,20 @@ class DynamicBatcher:
                                  f"trailing pair axis of 2, got {W.shape[3]}")
         if W.shape[0] == 0:
             return {k: np.zeros((0,), np.float32) for k in _EMPTY_KEYS}
-        if self._closed:
-            raise RuntimeError("batcher is closed")
         f: Future = Future()
-        self._q.put((W, f))
+        with self._lock:
+            if self._closed:
+                raise RuntimeError("batcher is closed")
+            self._q.put((W, f))
         return f.result()
 
     def close(self, timeout: float = 10.0) -> None:
-        """Stop the dispatcher; pending requests still complete first."""
-        if not self._closed:
-            self._closed = True
-            self._q.put(None)
+        """Stop the dispatcher; pending requests still complete first
+        (the lock guarantees every accepted request precedes the sentinel)."""
+        with self._lock:
+            if not self._closed:
+                self._closed = True
+                self._q.put(None)
         self._thread.join(timeout=timeout)
 
     # ------------------------------------------------------------------

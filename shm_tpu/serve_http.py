@@ -349,7 +349,11 @@ def make_server(scorer, host: str = "127.0.0.1", port: int = 8787,
     return srv
 
 
-def main(argv=None) -> None:
+def _parse_args(argv):
+    """Parse + validate ALL flags before any artifact/device work, so a
+    typo'd flag errors out immediately instead of minutes into startup
+    (artifact loads + device init are the slow part on this platform).
+    Returns ``(args, series_strides)``."""
     ap = argparse.ArgumentParser(
         prog="shm_tpu.serve_http",
         description="HTTP scoring service over trained 4DOF artifacts")
@@ -368,8 +372,12 @@ def main(argv=None) -> None:
                          "the host for this mode")
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8787)
-    ap.add_argument("--min-bucket", type=int, default=256)
-    ap.add_argument("--max-batch", type=int, default=8192)
+    ap.add_argument("--min-bucket", type=int, default=None,
+                    help="smallest padded batch bucket (default 256; for "
+                         "--shmx the artifact's recorded policy)")
+    ap.add_argument("--max-batch", type=int, default=None,
+                    help="largest device batch (default 8192; for --shmx "
+                         "the artifact's recorded policy)")
     ap.add_argument("--devices", type=int, default=None,
                     help="shard each request over the first N local devices")
     ap.add_argument("--no-warmup", action="store_true",
@@ -390,6 +398,33 @@ def main(argv=None) -> None:
 
     if args.openlab is not None and args.shmx is not None:
         ap.error("--openlab and --shmx are mutually exclusive")
+    if args.shmx is not None:
+        if args.devices and args.devices > 1:
+            ap.error("--devices does not apply to --shmx: exported programs "
+                     "are single-device (shard upstream of the daemon)")
+    else:
+        # in-process scorers take concrete policy values; --shmx leaves
+        # None so the artifact's recorded min_bucket/max_batch apply
+        # (ExportedScorer's manifest fallback)
+        if args.min_bucket is None:
+            args.min_bucket = 256
+        if args.max_batch is None:
+            args.max_batch = 8192
+    try:
+        strides = tuple(int(s) for s in args.series_strides.split(",")
+                        if s.strip())
+        if any(s < 1 for s in strides):
+            raise ValueError
+    except ValueError:
+        ap.error(f"--series-strides must be comma-separated positive ints "
+                 f"(or '' to disable /score_series), got "
+                 f"{args.series_strides!r}")
+    return args, strides
+
+
+def _load_scorer(args):
+    """Build the scorer the parsed args describe (the slow step: artifact
+    loads + device init)."""
     if args.openlab is not None:
         from shm_tpu.serve_openlab import OpenLabScorer
 
@@ -403,9 +438,6 @@ def main(argv=None) -> None:
               f"buckets={list(scorer.buckets())} T={scorer.seq_len} "
               f"request=(N, {scorer.seq_len}, {scorer.num_features}, 2)")
     elif args.shmx is not None:
-        if args.devices and args.devices > 1:
-            ap.error("--devices does not apply to --shmx: exported programs "
-                     "are single-device (shard upstream of the daemon)")
         from shm_tpu.export import load_exported_scorer
 
         scorer = load_exported_scorer(args.shmx, min_bucket=args.min_bucket,
@@ -423,15 +455,12 @@ def main(argv=None) -> None:
         scorer = HybridScorer.from_artifacts(args.root, **kw)
         print(f"[serve] loaded artifacts from {args.root}; "
               f"buckets={list(scorer.buckets())} T={scorer.seq_len}")
-    try:
-        strides = tuple(int(s) for s in args.series_strides.split(",")
-                        if s.strip())
-        if any(s < 1 for s in strides):
-            raise ValueError
-    except ValueError:
-        ap.error(f"--series-strides must be comma-separated positive ints "
-                 f"(or '' to disable /score_series), got "
-                 f"{args.series_strides!r}")
+    return scorer
+
+
+def main(argv=None) -> None:
+    args, strides = _parse_args(argv)
+    scorer = _load_scorer(args)
     srv = make_server(scorer, args.host, args.port,
                       warmup=not args.no_warmup,
                       series_strides=strides, concurrent=args.concurrent,

@@ -153,12 +153,10 @@ class OpenLabScorer:
         self.num_channels = (int(num_channels) if num_channels is not None
                              else None)
         if use_fused_gate is None:
-            # same auto policy as train/vae.py::reconstruction_mse: the
-            # gate-only Pallas kernel on TPU ("axon" is the tunneled platform)
-            use_fused_gate = (jax.default_backend() in ("tpu", "axon")
-                              and vae_model.num_layers in (1, 2)
-                              and getattr(vae_model, "cell", "lstm")
-                              in ("lstm", "min_gru"))
+            # the shared auto policy (gate-only Pallas kernel on TPU)
+            from shm_tpu.ops import auto_fused_gate
+
+            use_fused_gate = auto_fused_gate(vae_model)
         self.use_fused_gate = bool(use_fused_gate)
         # interpret lowering + io dtype exist so the fused-gate WIRING is
         # testable off-TPU (same precedent as make_hybrid_fn's

@@ -539,10 +539,9 @@ def reconstruction_mse(
         return np.zeros((0,), np.float32)
 
     if fused == "auto":
-        # the tunneled TPU platform reports itself as "axon"
-        fused = (not sample and jax.default_backend() in ("tpu", "axon")
-                 and getattr(model, "num_layers", 0) in (1, 2)
-                 and getattr(model, "cell", "lstm") in ("lstm", "min_gru"))
+        from shm_tpu.ops import auto_fused_gate
+
+        fused = not sample and auto_fused_gate(model)
     if fused and not sample:
         if getattr(model, "cell", "lstm") == "min_gru":
             from shm_tpu.ops import fused_mingru_gate as gate_fn

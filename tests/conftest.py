@@ -6,14 +6,17 @@ platform switch goes through jax.config (effective until first backend use).
 """
 
 import os
+import re
 
 _FLAG = "--xla_force_host_platform_device_count"
 _flags = os.environ.get("XLA_FLAGS", "")
-if _FLAG not in _flags:
+_m = re.search(re.escape(_FLAG) + r"=(\d+)", _flags)
+if _m is None:
     os.environ["XLA_FLAGS"] = (_flags + f" {_FLAG}=8").strip()
-elif f"{_FLAG}=8" not in _flags:
+elif _m.group(1) != "8":
     # a pre-set different count would make every make_mesh(8) test fail with
     # a confusing 'available devices' error — diagnose it here instead
+    # (parse the NUMBER: a substring check let counts like 80 through)
     raise RuntimeError(
         f"XLA_FLAGS pins a virtual device count != 8; the suite needs 8 "
         f"(got XLA_FLAGS={_flags!r})")

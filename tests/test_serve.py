@@ -63,6 +63,12 @@ def test_bucket_padding_invariance(setup):
 @pytest.mark.parametrize("stride,chunks", [
     (1, (7, 1, 30, 4, 58)),        # ragged chunking, total 100 samples
     (3, (25, 25, 25, 25)),
+    # stride > seq_len (T=20): windows are separated by gap samples, and a
+    # chunk boundary can land INSIDE a gap that hasn't arrived yet — the
+    # stream must skip those samples as they come in, not misindex the
+    # buffer (regression: consumed = n*stride used to overshoot the buffer)
+    (30, (21, 25, 40, 14)),
+    (23, (20, 3, 77)),
 ])
 def test_stream_scorer_matches_score_series(setup, stride, chunks):
     """Chunk-by-chunk streaming must produce EXACTLY the whole-series

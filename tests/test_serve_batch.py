@@ -155,6 +155,41 @@ def test_close_rejects_new_requests():
         b.score(_windows(2))
 
 
+def test_close_race_never_strands_a_request():
+    """A request racing close() must either complete or get the 'closed'
+    RuntimeError — never block forever (regression: a check-then-enqueue
+    race could land a request BEHIND the close sentinel, whose Future was
+    then never resolved)."""
+    sc = FakeScorer()
+    b = DynamicBatcher(sc, max_delay_ms=0.0)   # tightest dispatch loop
+    done = []
+    errs = []
+
+    def client(i):
+        W = _windows(1, seed=i)
+        try:
+            while True:                        # hammer until close lands
+                out = b.score(W)
+                assert out["mse"].shape == (1,)
+        except RuntimeError as e:
+            assert "closed" in str(e)
+            done.append(i)
+        except Exception as e:                  # pragma: no cover - diagnosis
+            errs.append(e)
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    time.sleep(0.05)                           # let the hammering overlap
+    b.close()
+    for t in threads:
+        t.join(timeout=10.0)
+    assert not errs
+    assert not any(t.is_alive() for t in threads), \
+        "a request thread is still blocked on its Future after close()"
+    assert len(done) == 8
+
+
 def test_real_scorer_equivalence():
     """Integration: batched outputs equal HybridScorer.score exactly."""
     import jax

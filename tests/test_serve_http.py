@@ -294,3 +294,29 @@ def test_bad_requests(server, case):
         assert "error" in json.loads(e.read())
     else:
         pytest.fail("expected an HTTP error")
+
+
+def test_parse_args_bucket_policy_and_early_validation():
+    """--shmx must leave the bucket policy unset so the artifact's recorded
+    min_bucket/max_batch apply (regression: the daemon used to force the
+    CLI defaults, making the manifest fallback dead code); in-process
+    scorers get the documented 256/8192 defaults; malformed flags fail at
+    parse time, BEFORE the slow artifact/device loading step."""
+    from shm_tpu.serve_http import _parse_args
+
+    args, strides = _parse_args(["--shmx", "gate.shmx"])
+    assert args.min_bucket is None and args.max_batch is None
+    assert strides == (1,)
+
+    args, _ = _parse_args(["--shmx", "gate.shmx", "--min-bucket", "64"])
+    assert args.min_bucket == 64 and args.max_batch is None
+
+    args, _ = _parse_args([])
+    assert (args.min_bucket, args.max_batch) == (256, 8192)
+
+    for bad in (["--series-strides", "1,x"],
+                ["--series-strides", "0"],
+                ["--shmx", "a", "--openlab", "b"],
+                ["--shmx", "a", "--devices", "2"]):
+        with pytest.raises(SystemExit):
+            _parse_args(bad)
