@@ -90,14 +90,35 @@ def _sigmoid_tanh(x):
     return 0.5 * (jnp.tanh(0.5 * x) + 1.0)
 
 
-def _lstm_step(h, c, gates, H, sig=_sigmoid_tanh):
+# R(7,6) least-squares rational fit of tanh on [-7, 7] (odd numerator, even
+# denominator, Chebyshev nodes + error re-weighting); max |err| vs tanh is
+# 9.7e-7 over the whole real line with the input clamp — below the bf16
+# path's per-step rounding, so gate numerics are unchanged at either dtype.
+_TANH_P = (0.999996935, 0.123091227, 2.28254070e-3, 3.95225241e-6)
+_TANH_Q = (0.456412385, 2.10997819e-2, 1.42908691e-4)
+
+
+def _tanh_rational(x):
+    """tanh as a clamped R(7,6) rational — 8 mul/FMA + 1 divide on the VPU,
+    no transcendental. Exists to A/B against Mosaic's tanh lowering on the
+    transcendental-bound kernel (tools/probe_fast_tanh.py); see
+    ``fused_vae_gate(tanh_impl=...)`` for the measured outcome."""
+    x = jnp.clip(x, -7.0, 7.0)
+    x2 = x * x
+    p = x * (_TANH_P[0] + x2 * (_TANH_P[1] + x2 * (_TANH_P[2]
+                                                   + x2 * _TANH_P[3])))
+    q = 1.0 + x2 * (_TANH_Q[0] + x2 * (_TANH_Q[1] + x2 * _TANH_Q[2]))
+    return p / q
+
+
+def _lstm_step(h, c, gates, H, sig=_sigmoid_tanh, tanh=jnp.tanh):
     """gates: [4H, Bt] in torch order i|f|g|o along sublanes."""
     i = gates[0 * H:1 * H]
     f = gates[1 * H:2 * H]
     g = gates[2 * H:3 * H]
     o = gates[3 * H:4 * H]
-    c = sig(f) * c + sig(i) * jnp.tanh(g)
-    h = sig(o) * jnp.tanh(c)
+    c = sig(f) * c + sig(i) * tanh(g)
+    h = sig(o) * tanh(c)
     return h, c
 
 
@@ -107,7 +128,7 @@ def _kernel(
                                # L decoder triples, out pair, then out refs
     T: int, H: int, num_layers: int, use_layernorm: bool, dtype,
     d_real: int, emulate: bool = False, skew: bool = False,
-    sigmoid_impl: str = "tanh",
+    sigmoid_impl: str = "tanh", tanh_impl: str = "exact",
 ):
     it = iter(refs)
     enc = [(next(it), next(it), next(it)) for _ in range(num_layers)]
@@ -122,8 +143,12 @@ def _kernel(
 
     Bt = x_ref.shape[2]
     f32 = jnp.float32
-    sig = _sigmoid_tanh if sigmoid_impl == "tanh" else jax.nn.sigmoid
-    step = lambda h, c, g: _lstm_step(h, c, g, H, sig)
+    tanh = _tanh_rational if tanh_impl == "rational" else jnp.tanh
+    if sigmoid_impl == "tanh":
+        sig = lambda x: 0.5 * (tanh(0.5 * x) + 1.0)
+    else:
+        sig = jax.nn.sigmoid
+    step = lambda h, c, g: _lstm_step(h, c, g, H, sig, tanh)
 
     def mm(a, b):
         if emulate:
@@ -191,7 +216,7 @@ def _kernel(
     mu = mm(mu_w[:], h_last) + mu_b[:]                        # [Z, Bt]
 
     # ----- decoder: constant input projected ONCE -----
-    dec_in = jnp.tanh(mm(z2h_w[:], mu) + z2h_b[:])            # [H, Bt]
+    dec_in = tanh(mm(z2h_w[:], mu) + z2h_b[:])                # [H, Bt]
     d0_wih, d0_whh, d0_b = dec[0]
     xp_const = mm(d0_wih[:], dec_in) + d0_b[:]                # [4H, Bt]
 
@@ -262,7 +287,7 @@ def _kernel(
     jax.jit,
     static_argnames=("num_layers", "use_layernorm", "batch_tile", "dtype",
                      "io_dtype", "with_residual", "interpret", "emulate",
-                     "skew", "sigmoid_impl", "residual_layout"),
+                     "skew", "sigmoid_impl", "tanh_impl", "residual_layout"),
 )
 def fused_vae_gate(
     params: Dict,
@@ -278,6 +303,7 @@ def fused_vae_gate(
     emulate: bool = False,
     skew: bool = True,
     sigmoid_impl: str = "tanh",
+    tanh_impl: str = "exact",
     residual_layout: str = "nhwc",
 ) -> Tuple[jax.Array, jax.Array | None]:
     """Fused deterministic VAE pass: returns (mse [N], residual [N, T, D] | None).
@@ -294,6 +320,11 @@ def fused_vae_gate(
       independent matmul groups the MXU/VPU can overlap instead of the
       stacked form's serial mm->act->mm->act chain. Pure reordering of the
       identical math (pinned bit-exact vs skew=False in tests/test_ops.py).
+    - ``tanh_impl``: "exact" (default) uses Mosaic's tanh lowering;
+      "rational" evaluates every tanh (and the tanh-form sigmoid) as the
+      clamped R(7,6) rational ``_tanh_rational`` — max 9.7e-7 deviation, no
+      transcendental. A/B lever for the probed transcendental bound
+      (tools/probe_fast_tanh.py).
     - ``residual_layout``: "nhwc" (default) returns the residual as
       ``[N, T, D]``; "transposed" returns the kernel's native
       ``[T, Dp, Np]`` tile (Dp = D padded to 16 with exact-zero rows,
@@ -344,10 +375,13 @@ def fused_vae_gate(
     if sigmoid_impl not in ("tanh", "exact"):
         raise ValueError(f"unknown sigmoid_impl {sigmoid_impl!r} "
                          "(expected 'tanh' or 'exact')")
+    if tanh_impl not in ("exact", "rational"):
+        raise ValueError(f"unknown tanh_impl {tanh_impl!r} "
+                         "(expected 'exact' or 'rational')")
     kernel = functools.partial(_kernel, emulate=emulate, skew=skew,
                                T=T, H=H, num_layers=num_layers, d_real=D,
                                use_layernorm=use_layernorm, dtype=dtype,
-                               sigmoid_impl=sigmoid_impl)
+                               sigmoid_impl=sigmoid_impl, tanh_impl=tanh_impl)
     mse_spec = pl.BlockSpec((1, batch_tile), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
     mse_shape = jax.ShapeDtypeStruct((1, Np), jnp.float32)

@@ -134,3 +134,24 @@ def test_fused_vae_sigmoid_impl_equivalence(setup):
     with pytest.raises(ValueError, match="sigmoid_impl"):
         fused_vae_gate(params, Z[:64], interpret=True, batch_tile=32,
                        sigmoid_impl="fast")
+
+
+def test_fused_vae_tanh_impl_equivalence(setup):
+    """The rational tanh (R(7,6), max 9.7e-7 deviation — the probe lever for
+    the kernel's transcendental bound) agrees with Mosaic/XLA tanh to float-
+    rounding level through the full recurrence."""
+    model, params, Z = setup
+    mse_r, resid_r = fused_vae_gate(params, Z[:64], dtype=jnp.float32,
+                                    interpret=True, batch_tile=32,
+                                    tanh_impl="rational")
+    mse_e, resid_e = fused_vae_gate(params, Z[:64], dtype=jnp.float32,
+                                    interpret=True, batch_tile=32,
+                                    tanh_impl="exact")
+    np.testing.assert_allclose(np.asarray(mse_r), np.asarray(mse_e),
+                               rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(resid_r), np.asarray(resid_e),
+                               atol=1e-4)
+
+    with pytest.raises(ValueError, match="tanh_impl"):
+        fused_vae_gate(params, Z[:64], interpret=True, batch_tile=32,
+                       tanh_impl="poly")
