@@ -273,8 +273,10 @@ def cmd_train_vae(paths: Paths, cfg: Stage4DofConfig, epochs: int | None = None,
         # With --devices the XLA path is required (train_vae mesh= uses GSPMD
         # auto-partitioning, which cannot split Pallas custom calls); with
         # --cell min_gru the XLA path IS the fast path (parallel scan).
+        from shm_tpu.ops import is_tpu_backend
+
         kernel = (mesh is None and cfg.vae.cell == "lstm"
-                  and jax.default_backend() in ("tpu", "axon"))
+                  and is_tpu_backend())
     if mesh is not None:
         print(f"[INFO] data-parallel training over {mesh.devices.size} devices")
     res = train_vae(vae, Ztr, Zva, tcfg, log_every=1, use_pallas_kernel=kernel,

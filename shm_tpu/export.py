@@ -146,15 +146,19 @@ def save_exported_scorer(scorer, path: str | Path, *,
         # the costs invert by backend (models/cnn.py::inference_conv_impl),
         # so record it and flag the pathological combination
         manifest["conv_impl"] = str(conv_impl)
-        if conv_impl == "lax" and "cpu" in platforms and rank == 4:
+        if conv_impl == "lax" and "cpu" in platforms:
+            # a TPU host exports conv_impl="lax" by default (the fast TPU
+            # lowering), so a default cpu,tpu artifact hits this for BOTH
+            # pipelines — warn for both, not just openLAB
             import warnings
 
             warnings.warn(
-                "exporting the openLAB CNN with conv_impl='lax' for a CPU "
-                "target: XLA-CPU lax.conv is pathologically slow for this "
-                "model (~150s/batch measured). For CPU-serving artifacts "
-                "build the scorer with from_artifacts(conv_impl='im2col') "
-                "(or pass --conv-impl im2col to python -m shm_tpu.export).",
+                "exporting with conv_impl='lax' for a CPU target: XLA-CPU "
+                "lax.conv is far slower than the im2col lowering for these "
+                "CNNs (~150 s/batch measured for the openLAB model). For "
+                "CPU-serving artifacts build the scorer with "
+                "from_artifacts(conv_impl='im2col') (or pass --conv-impl "
+                "im2col to python -m shm_tpu.export).",
                 stacklevel=2)
     if extra_manifest:
         manifest.update(extra_manifest)

@@ -186,9 +186,9 @@ def inference_conv_impl() -> str:
     better-tested default there (outputs are equivalence-pinned both ways
     in tests/test_models.py).
     """
-    import jax
+    from shm_tpu.ops import is_tpu_backend
 
-    return "lax" if jax.default_backend() in ("tpu", "axon") else "im2col"
+    return "lax" if is_tpu_backend() else "im2col"
 
 
 def cnn_from_config(cfg: CNNConfig, dtype: Any = jnp.float32) -> nn.Module:

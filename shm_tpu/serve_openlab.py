@@ -185,15 +185,16 @@ class OpenLabScorer:
             cell = getattr(self.vae_model, "cell", "lstm")
             if cell == "min_gru":
                 from shm_tpu.ops import fused_mingru_gate as gate_fn
-                extra = dict(interpret=self.gate_interpret,
-                             emulate=self.gate_interpret)
             else:
                 from shm_tpu.ops import fused_vae_gate as gate_fn
-                extra = dict(interpret=self.gate_interpret)
+            extra = dict(interpret=self.gate_interpret,
+                         emulate=self.gate_interpret)
             if self.gate_interpret:
-                # interpret lowering executes on the host backend, where
-                # XLA-CPU cannot run bf16 dots — compute in the io dtype
-                # (same as make_hybrid_fn's fused_dtype under interpret)
+                # interpret lowering executes on the host backend: emulate=
+                # rounds matmul inputs to the compute dtype but dots in f32
+                # (XLA-CPU lacks a bf16 dot thunk for some shapes), and the
+                # compute dtype follows the io dtype so the wiring test can
+                # pin near-exact f32 agreement against the XLA gate
                 extra["dtype"] = self.gate_io_dtype
             mse, _ = gate_fn(vae_params, Zg,
                              num_layers=self.vae_model.num_layers,
@@ -301,6 +302,9 @@ class OpenLabScorer:
 
         if stage2 not in ML_STAGE2:
             raise ValueError(f"unknown stage2 {stage2!r}")
+        if conv_impl is not None:
+            raise ValueError("conv_impl applies only to stage2='cnn' "
+                             f"(got stage2={stage2!r})")
         import joblib
 
         mdl = joblib.load(paths.ml_dir / "artifacts" / f"{stage2}.joblib")

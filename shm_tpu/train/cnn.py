@@ -286,7 +286,9 @@ def train_cnn(
     t0 = time.perf_counter()
 
     if fused_epoch is None:
-        fused_epoch = jax.default_backend() in ("tpu", "axon")
+        from shm_tpu.ops import is_tpu_backend
+
+        fused_epoch = is_tpu_backend()
 
     for epoch in range(start_epoch, cfg.epochs + 1):
         root, ke = jax.random.split(root)

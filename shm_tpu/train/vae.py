@@ -315,8 +315,9 @@ def train_vae(
         # trajectory — so it is the default wherever per-epoch host control
         # isn't needed (checkpointing falls back to the loop below). CPU keeps
         # the loop: the whole-run compile dominates small test workloads.
-        fused_epochs = (checkpoint_dir is None
-                        and jax.default_backend() in ("tpu", "axon"))
+        from shm_tpu.ops import is_tpu_backend
+
+        fused_epochs = checkpoint_dir is None and is_tpu_backend()
     # per-epoch keys are derived identically in BOTH paths (all from the initial
     # root), so a fused run, a loop run, and a checkpointed/resumed run produce
     # bit-identical training trajectories.

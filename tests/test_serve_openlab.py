@@ -375,3 +375,8 @@ def test_conv_impl_override_plumbs_through(scorer, subset, tmp_path):
     with zipfile.ZipFile(out) as zf:
         manifest = json.loads(zf.read("manifest.json"))
     assert manifest["conv_impl"] == "lax"
+
+    # the kwarg is meaningless for classical stage-2 modes — reject loudly
+    # instead of silently discarding it
+    with pytest.raises(ValueError, match="stage2"):
+        OpenLabScorer.from_artifacts(ROOT, stage2="rf", conv_impl="im2col")
