@@ -44,11 +44,12 @@ def test_train_resume_is_exact(tmp_path, windows, capsys):
     full = train_vae(model, W, W[:32], cfg)
 
     d1 = tmp_path / "ck"
-    # phase 1: run only 3 epochs (simulated interruption), checkpointing each
-    part = train_vae(model, W, W[:32],
-                     TrainConfig(epochs=3, batch_size=32, lr=1e-3,
-                                 weight_decay=1e-5, grad_clip=2.0, seed=0),
-                     checkpoint_dir=str(d1), checkpoint_every=1)
+    # phase 1: run only 3 epochs (simulated interruption) — wanted solely
+    # for its checkpoint side effect
+    train_vae(model, W, W[:32],
+              TrainConfig(epochs=3, batch_size=32, lr=1e-3,
+                          weight_decay=1e-5, grad_clip=2.0, seed=0),
+              checkpoint_dir=str(d1), checkpoint_every=1)
     # phase 2: resume to epoch 6
     capsys.readouterr()
     res = train_vae(model, W, W[:32], cfg, checkpoint_dir=str(d1),

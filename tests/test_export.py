@@ -101,6 +101,18 @@ def test_export_rejects_mesh_and_missing_seq_len(scorer):
     with pytest.raises(ValueError, match="seq_len"):
         export_scorer(no_t, platforms=("cpu",))
 
+    # a mesh scorer's program is bound to this session's devices — exporting
+    # it would serialize a .shmx broken on any other topology
+    from shm_tpu.parallel import make_mesh
+
+    meshed = HybridScorer(scorer.vae_model, scorer.cnn_model,
+                          scorer.vae_params, scorer.cnn_variables,
+                          np.zeros(4, np.float32), np.ones(4, np.float32),
+                          1.0, use_fused_vae=False, mesh=make_mesh(8),
+                          min_bucket=8, max_batch=32, seq_len=20)
+    with pytest.raises(ValueError, match="mesh"):
+        export_scorer(meshed, platforms=("cpu",))
+
 
 def test_loader_rejects_newer_format(scorer, artifact, tmp_path):
     import json
@@ -187,7 +199,7 @@ def test_http_daemon_serves_exported_artifact(scorer, artifact):
         srv.server_close()
 
 
-def test_export_mingru_trained_artifacts():
+def test_export_mingru_trained_artifacts(tmp_path):
     """The second cell family exports too: round-trip the committed trained
     minGRU 4DOF artifacts (from_artifacts auto-detects the recurrence from
     the training meta) and pin decision agreement with the in-process
@@ -199,19 +211,18 @@ def test_export_mingru_trained_artifacts():
         root, use_fused_vae=False, cnn_dtype=jnp.float32,
         min_bucket=4, max_batch=8)
     assert getattr(scorer.vae_model, "cell", "lstm") == "min_gru"
-    blob_path = Path("data") / "_tmp_mingru.shmx"
-    try:
-        save_exported_scorer(scorer, blob_path, platforms=("cpu",))
-        loaded = load_exported_scorer(blob_path)
-        assert loaded.manifest["cell"] == "min_gru"
-        W = np.asarray(
-            0.1 * jax.random.normal(jax.random.PRNGKey(6), (5, 100, 12)),
-            np.float32)
-        got = loaded.score(W)
-        ref = scorer.score(W)
-        np.testing.assert_array_equal(got["anomalous"], ref["anomalous"])
-        np.testing.assert_array_equal(got["y_pred"], ref["y_pred"])
-        np.testing.assert_allclose(got["mse"], ref["mse"],
-                                   atol=1e-5, rtol=1e-5)
-    finally:
-        blob_path.unlink(missing_ok=True)
+    # tmp_path, never the repo tree: a hard-killed run would leave a stray
+    # artifact dirtying the checkout
+    blob_path = tmp_path / "mingru.shmx"
+    save_exported_scorer(scorer, blob_path, platforms=("cpu",))
+    loaded = load_exported_scorer(blob_path)
+    assert loaded.manifest["cell"] == "min_gru"
+    W = np.asarray(
+        0.1 * jax.random.normal(jax.random.PRNGKey(6), (5, 100, 12)),
+        np.float32)
+    got = loaded.score(W)
+    ref = scorer.score(W)
+    np.testing.assert_array_equal(got["anomalous"], ref["anomalous"])
+    np.testing.assert_array_equal(got["y_pred"], ref["y_pred"])
+    np.testing.assert_allclose(got["mse"], ref["mse"],
+                               atol=1e-5, rtol=1e-5)

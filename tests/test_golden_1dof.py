@@ -16,7 +16,6 @@ needs_ref = pytest.mark.skipif(not os.path.isdir(REF), reason="reference not mou
 @needs_ref
 def test_seen_variants_match_committed_csv():
     import pandas as pd
-    import jax.numpy as jnp
     from shm_tpu.config import Stage1DofConfig
     from shm_tpu.sim import simulate_free_vibration_sdof, make_clean_variants
     from shm_tpu.sim.signals import SEEN_COLUMNS, variants_to_matrix

@@ -177,7 +177,10 @@ def test_close_race_never_strands_a_request():
         except Exception as e:                  # pragma: no cover - diagnosis
             errs.append(e)
 
-    threads = [threading.Thread(target=client, args=(i,)) for i in range(8)]
+    # daemon=True: if the race ever regresses, the blocked thread must fail
+    # the is_alive assert below — not hang the interpreter at suite exit
+    threads = [threading.Thread(target=client, args=(i,), daemon=True)
+               for i in range(8)]
     for t in threads:
         t.start()
     time.sleep(0.05)                           # let the hammering overlap

@@ -159,19 +159,20 @@ def test_score_series_endpoint_matches_scorer(server):
     # wrong feature count -> 422; bad stride -> 400; unwarmed stride -> 422
     # (an unwarmed stride would compile a fresh program per bucket inline
     # in the single-threaded request path — minutes on the real platform)
-    for hdrs, data in (
-        ({"Content-Type": "application/octet-stream",
-          "X-Shape": f"{T},{D + 1}"}, np.zeros((T, D + 1), np.float32).tobytes()),
-        ({"Content-Type": "application/octet-stream",
-          "X-Shape": f"{T},{D}", "X-Stride": "0"},
+    for want_code, hdrs, data in (
+        (422, {"Content-Type": "application/octet-stream",
+               "X-Shape": f"{T},{D + 1}"},
+         np.zeros((T, D + 1), np.float32).tobytes()),
+        (400, {"Content-Type": "application/octet-stream",
+               "X-Shape": f"{T},{D}", "X-Stride": "0"},
          np.zeros((T, D), np.float32).tobytes()),
-        ({"Content-Type": "application/octet-stream",
-          "X-Shape": f"{T},{D}", "X-Stride": "3"},
+        (422, {"Content-Type": "application/octet-stream",
+               "X-Shape": f"{T},{D}", "X-Stride": "3"},
          np.zeros((T, D), np.float32).tobytes()),
     ):
         with pytest.raises(urllib.error.HTTPError) as ei:
             _req(base + "/score_series", data=data, headers=hdrs, method="POST")
-        assert ei.value.code in (400, 422)
+        assert ei.value.code == want_code, hdrs
 
 
 def test_accepted_series_strides_are_warmed(server):

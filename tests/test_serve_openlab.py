@@ -47,6 +47,8 @@ def subset():
     above = pool[mse > thr][:30]
     below = pool[mse <= thr][:30]
     assert len(above) >= 5, "candidate pool never trips the gate"
+    assert len(below) >= 5, ("candidate pool is all-anomalous — the Normal "
+                             "routing assertions would become vacuous")
     idx = np.concatenate([above, below])
     return Xc[idx], Xr[idx], Xf[idx]
 
@@ -120,20 +122,27 @@ def test_bucketing_invariance(scorer, subset):
     np.testing.assert_array_equal(split["y_pred"], whole["y_pred"])
 
 
-def test_ml_stage2_rf_matches_sklearn_routing(subset):
-    """stage2='rf': gate on device, forest scored on device from features;
-    y_pred must match the sklearn-host recomputation of the same routing."""
+@pytest.mark.parametrize("stage2", ML_STAGE2)
+def test_ml_stage2_matches_sklearn_routing(subset, stage2):
+    """Every classical stage-2 mode: gate on device, model scored on device
+    from features; y_pred must match the sklearn-host recomputation of the
+    same routing (CLAUDE.md: every alternative compute path — here the
+    exported on-device tree/SVM arrays vs host sklearn — needs an
+    equivalence test)."""
     Xc, Xr, Xf = subset
-    dev = OpenLabScorer.from_artifacts(ROOT, stage2="rf",
+    dev = OpenLabScorer.from_artifacts(ROOT, stage2=stage2,
                                        min_bucket=16, max_batch=64)
-    host = OpenLabScorer.from_artifacts(ROOT, stage2="rf", host_ml=True,
+    host = OpenLabScorer.from_artifacts(ROOT, stage2=stage2, host_ml=True,
                                         min_bucket=16, max_batch=64)
     a = dev.score_pair(Xc, Xr, features=Xf)
     b = host.score_pair(Xc, Xr, features=Xf)
     assert a["anomalous"].astype(bool).any()
     np.testing.assert_array_equal(a["y_pred"], b["y_pred"])
+    # trees reproduce sklearn's f64 probabilities near-exactly; the SVM's
+    # on-device RBF/Platt runs in f32 (exp of kernel distances) — ~1e-4 rel
+    rtol = 2e-4 if stage2 == "svm_rbf" else 1e-5
     np.testing.assert_allclose(a["p_struct"], b["p_struct"],
-                               rtol=1e-5, atol=1e-6)
+                               rtol=rtol, atol=1e-5)
     # non-anomalous rows stay Normal with p_struct 0
     normals = ~a["anomalous"].astype(bool)
     assert (np.asarray(a["y_pred"])[normals] == 0).all()
@@ -196,6 +205,15 @@ def test_http_daemon_openlab_mode(scorer, subset):
         assert out["y_pred"] == [int(v) for v in ref["y_pred"]]
 
         # rank-3 body must 400 (shape header), wrong channel count must 422
+        rank3 = np.zeros((2, 200, 4), np.float32)
+        req = urllib.request.Request(
+            base + "/score", data=rank3.tobytes(),
+            headers={"Content-Type": "application/octet-stream",
+                     "X-Shape": "2,200,4"})
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=30)
+        assert ei.value.code == 400
+
         bad = np.zeros((2, 200, 3, 2), np.float32)
         req = urllib.request.Request(
             base + "/score", data=bad.tobytes(),
