@@ -323,8 +323,11 @@ def fused_vae_gate(
     - ``tanh_impl``: "exact" (default) uses Mosaic's tanh lowering;
       "rational" evaluates every tanh (and the tanh-form sigmoid) as the
       clamped R(7,6) rational ``_tanh_rational`` — max 9.7e-7 deviation, no
-      transcendental. A/B lever for the probed transcendental bound
-      (tools/probe_fast_tanh.py).
+      transcendental. Measured on the chip (tools/probe_fast_tanh.py,
+      round 3): the rational form is a decisive LOSS (−36% device-side,
+      563k → 356k win/s gate-only; 100% gate agreement) — Mosaic's
+      hardware tanh outruns the 8-FMA + divide chain, so "exact" stays
+      the default and the option remains as the documented dead end.
     - ``residual_layout``: "nhwc" (default) returns the residual as
       ``[N, T, D]``; "transposed" returns the kernel's native
       ``[T, Dp, Np]`` tile (Dp = D padded to 16 with exact-zero rows,
