@@ -10,6 +10,12 @@ Endpoints:
 
 - ``GET /healthz`` — liveness + readiness: 200 once warmup finished.
 - ``GET /info`` — scorer configuration (buckets, seq_len, threshold, mesh).
+- ``GET /metrics`` — operational counters in Prometheus text exposition
+  format (or a JSON snapshot with ``Accept: application/json``): requests
+  by path/status, scoring-latency histograms, and the domain counters an
+  SHM deployment actually watches — windows scored, windows the gate
+  flagged anomalous, and per-class prediction counts (a drifting anomaly
+  rate is the first sign of sensor trouble or model/threshold staleness).
 - ``POST /score`` — an (N, T, D) float32 window stack; returns per-window
   gate MSE, anomaly decision, 3-class prediction, p(structural).
 - ``POST /score_series`` — a raw (T_total, D) float32 series; windows are
@@ -60,6 +66,7 @@ import io
 import json
 import math
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, HTTPServer
 from typing import Optional
 
@@ -67,12 +74,135 @@ import numpy as np
 
 MAX_BODY_BYTES = 1 << 30      # 1 GiB — a ~220k-window 4DOF request (4.8 KB each)
 
+# Prometheus-conventional latency buckets (seconds). The interesting range
+# here is dispatch-floor (~25-110 ms through the remote tunnel) up to a cold
+# inline compile (minutes -> +Inf bucket).
+_LATENCY_BUCKETS = (0.005, 0.01, 0.025, 0.05, 0.1, 0.25, 0.5, 1.0, 2.5, 5.0,
+                    10.0)
+_CLASS_LABELS = ("Normal", "Sensor Fault", "Structural Fault")
+
+
+class ServerMetrics:
+    """Thread-safe operational counters for the scoring daemon.
+
+    One instance per server (shared by every connection thread in
+    ``--concurrent`` mode); ``record()`` is called once per request AFTER
+    the response is written, so metric accounting never adds request
+    latency. Renders as Prometheus text exposition (``render_prometheus``)
+    or a JSON snapshot (``snapshot``). The reference has no serving story,
+    let alone observability (SURVEY §5: logging = bare prints); in a
+    monitoring deployment the anomaly-rate counters below are the live
+    health signal — a drifting ``windows_anomalous/windows_scored`` ratio
+    means sensor trouble or a stale model/threshold.
+    """
+
+    def __init__(self) -> None:
+        self._lock = threading.Lock()
+        self.started = time.time()
+        self.requests: dict = {}       # (path, code) -> count
+        self.latency: dict = {}        # path -> {"buckets": [...], "sum", "count"}
+        self.windows_scored = 0
+        self.windows_anomalous = 0
+        self.pred_classes = [0, 0, 0]
+
+    def record(self, path: str, code: int, seconds: float | None = None,
+               out: dict | None = None) -> None:
+        """Count one request; ``seconds``/``out`` only for scoring paths."""
+        with self._lock:
+            key = (path, int(code))
+            self.requests[key] = self.requests.get(key, 0) + 1
+            if seconds is not None:
+                h = self.latency.setdefault(
+                    path, {"buckets": [0] * (len(_LATENCY_BUCKETS) + 1),
+                           "sum": 0.0, "count": 0})
+                for i, le in enumerate(_LATENCY_BUCKETS):
+                    if seconds <= le:
+                        h["buckets"][i] += 1
+                        break
+                else:
+                    h["buckets"][-1] += 1
+                h["sum"] += seconds
+                h["count"] += 1
+            if out is not None:
+                y = np.asarray(out["y_pred"])
+                self.windows_scored += int(y.size)
+                self.windows_anomalous += int(np.asarray(out["anomalous"]).sum())
+                for c in range(len(self.pred_classes)):
+                    self.pred_classes[c] += int((y == c).sum())
+
+    def render_prometheus(self, ready: bool) -> str:
+        with self._lock:
+            lines = [
+                "# HELP shm_ready 1 once every compile bucket is warmed.",
+                "# TYPE shm_ready gauge",
+                f"shm_ready {int(ready)}",
+                "# HELP shm_uptime_seconds Daemon uptime.",
+                "# TYPE shm_uptime_seconds gauge",
+                f"shm_uptime_seconds {time.time() - self.started:.3f}",
+                "# HELP shm_requests_total HTTP requests by path and status.",
+                "# TYPE shm_requests_total counter",
+            ]
+            for (path, code), n in sorted(self.requests.items()):
+                lines.append(
+                    f'shm_requests_total{{path="{path}",code="{code}"}} {n}')
+            lines += [
+                "# HELP shm_windows_scored_total Windows scored by /score "
+                "and /score_series.",
+                "# TYPE shm_windows_scored_total counter",
+                f"shm_windows_scored_total {self.windows_scored}",
+                "# HELP shm_windows_anomalous_total Scored windows the VAE "
+                "gate flagged anomalous.",
+                "# TYPE shm_windows_anomalous_total counter",
+                f"shm_windows_anomalous_total {self.windows_anomalous}",
+                "# HELP shm_pred_class_total Scored windows by predicted "
+                "class.",
+                "# TYPE shm_pred_class_total counter",
+            ]
+            for label, n in zip(_CLASS_LABELS, self.pred_classes):
+                lines.append(f'shm_pred_class_total{{label="{label}"}} {n}')
+            lines += [
+                "# HELP shm_request_seconds Scoring request wall latency "
+                "(body read through response write).",
+                "# TYPE shm_request_seconds histogram",
+            ]
+            for path, h in sorted(self.latency.items()):
+                cum = 0
+                for le, n in zip(_LATENCY_BUCKETS, h["buckets"]):
+                    cum += n
+                    lines.append(f'shm_request_seconds_bucket'
+                                 f'{{path="{path}",le="{le}"}} {cum}')
+                cum += h["buckets"][-1]
+                lines.append(f'shm_request_seconds_bucket'
+                             f'{{path="{path}",le="+Inf"}} {cum}')
+                lines.append(f'shm_request_seconds_sum{{path="{path}"}} '
+                             f'{h["sum"]:.6f}')
+                lines.append(f'shm_request_seconds_count{{path="{path}"}} '
+                             f'{h["count"]}')
+            return "\n".join(lines) + "\n"
+
+    def snapshot(self, ready: bool) -> dict:
+        with self._lock:
+            return {
+                "ready": bool(ready),
+                "uptime_seconds": time.time() - self.started,
+                "requests": {f"{p} {c}": n
+                             for (p, c), n in sorted(self.requests.items())},
+                "windows_scored": self.windows_scored,
+                "windows_anomalous": self.windows_anomalous,
+                "pred_class_counts": dict(zip(_CLASS_LABELS,
+                                              self.pred_classes)),
+                "latency_seconds": {p: {"count": h["count"],
+                                        "sum": h["sum"]}
+                                    for p, h in sorted(self.latency.items())},
+            }
+
 
 class _Handler(BaseHTTPRequestHandler):
     # class attributes injected by make_server()
     scorer = None
     score_fn = None             # DynamicBatcher.score, or None -> scorer.score
     series_lock = None          # serializes /score_series device dispatch
+    metrics = None              # shared ServerMetrics (set by make_server)
     ready = False
     warm_error = None           # str once the warmup thread has failed
     quiet = True
@@ -91,6 +221,7 @@ class _Handler(BaseHTTPRequestHandler):
             super().log_message(fmt, *args)
 
     def _send(self, code: int, body: bytes, ctype: str = "application/json"):
+        self._status = code          # read by the metrics wrapper afterwards
         self.send_response(code)
         self.send_header("Content-Type", ctype)
         self.send_header("Content-Length", str(len(body)))
@@ -111,6 +242,18 @@ class _Handler(BaseHTTPRequestHandler):
 
     # ------------------------------------------------------------------
     def do_GET(self):
+        self._status = 0
+        try:
+            self._handle_get()
+        finally:
+            if self.metrics is not None:
+                # bound label cardinality: arbitrary 404 paths all count
+                # under "other" instead of minting a label value each
+                p = (self.path if self.path in ("/healthz", "/info",
+                                                "/metrics") else "other")
+                self.metrics.record(p, self._status)
+
+    def _handle_get(self):
         if self.path == "/healthz":
             if self.warm_error is not None:
                 self._err(500, f"warmup failed: {self.warm_error}")
@@ -131,9 +274,18 @@ class _Handler(BaseHTTPRequestHandler):
                 "exported": bool(getattr(s, "exported", False)),
                 "mesh_devices": (int(s.mesh.devices.size)
                                  if s.mesh is not None else None),
-                "labels": {"0": "Normal", "1": "Sensor Fault",
-                           "2": "Structural Fault"},
+                "labels": {str(i): lbl for i, lbl in enumerate(_CLASS_LABELS)},
             })
+        elif self.path == "/metrics":
+            if self.metrics is None:     # handler built without make_server()
+                self._err(404, "metrics not enabled")
+            elif (self.headers.get("Accept") or "") == "application/json":
+                self._send_json(200, self.metrics.snapshot(ready=self.ready))
+            else:
+                self._send(200,
+                           self.metrics.render_prometheus(
+                               ready=self.ready).encode(),
+                           "text/plain; version=0.0.4; charset=utf-8")
         else:
             self._err(404, f"unknown path {self.path!r}")
 
@@ -192,6 +344,7 @@ class _Handler(BaseHTTPRequestHandler):
         return None
 
     def _respond_scores(self, out: dict, n: int) -> None:
+        self._outcome = out          # read by the metrics wrapper afterwards
         if (self.headers.get("Accept") or "") == "application/octet-stream":
             buf = io.BytesIO()
             np.savez(buf, **{k: np.asarray(v) for k, v in out.items()})
@@ -206,6 +359,19 @@ class _Handler(BaseHTTPRequestHandler):
             })
 
     def do_POST(self):
+        t0 = time.perf_counter()
+        self._status = 0
+        self._outcome = None             # scoring outputs on success
+        try:
+            self._handle_post()
+        finally:
+            if self.metrics is not None:
+                p = (self.path if self.path in ("/score", "/score_series")
+                     else "other")
+                self.metrics.record(p, self._status,
+                                    time.perf_counter() - t0, self._outcome)
+
+    def _handle_post(self):
         if self.path not in ("/score", "/score_series"):
             self._err(404, f"unknown path {self.path!r}")
             return
@@ -323,10 +489,12 @@ def make_server(scorer, host: str = "127.0.0.1", port: int = 8787,
     handler = type("BoundHandler", (_Handler,),
                    {"scorer": scorer, "ready": not warmup,
                     "score_fn": score_fn, "series_lock": threading.Lock(),
+                    "metrics": ServerMetrics(),
                     "warm_error": None, "quiet": quiet,
                     "series_strides": frozenset(int(s) for s in series_strides)})
     srv = server_cls((host, port), handler)
     srv.batcher = batcher
+    srv.metrics = handler.metrics
     srv.warm_event = threading.Event()
     if warmup:
         def _warm():
@@ -488,7 +656,7 @@ def main(argv=None) -> None:
             srv.batcher.close()
 
 
-__all__ = ["make_server", "main"]
+__all__ = ["ServerMetrics", "make_server", "main"]
 
 
 if __name__ == "__main__":

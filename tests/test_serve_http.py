@@ -297,6 +297,68 @@ def test_bad_requests(server, case):
         pytest.fail("expected an HTTP error")
 
 
+def test_metrics_endpoint(server):
+    """/metrics: the domain counters (windows scored / anomalous / per-class)
+    must track scoring traffic exactly, request counters must label by
+    path+status with unknown paths folded into "other", and the Prometheus
+    text rendering must be well-formed with monotone cumulative buckets."""
+    import re
+
+    base, scorer, T, D = server
+
+    def snap():
+        _, _, body = _req(base + "/metrics",
+                          headers={"Accept": "application/json"})
+        return json.loads(body)
+
+    before = snap()
+    W = np.random.default_rng(7).normal(size=(5, T, D)).astype(np.float32)
+    ref = scorer.score(W)
+    _req(base + "/score", data=W.tobytes(),
+         headers={"Content-Type": "application/octet-stream",
+                  "X-Shape": f"5,{T},{D}"}, method="POST")
+    with pytest.raises(urllib.error.HTTPError):
+        _req(base + "/score", data=b"x",
+             headers={"Content-Type": "text/plain"}, method="POST")
+    with pytest.raises(urllib.error.HTTPError):
+        _req(base + "/bogus")
+    after = snap()
+
+    assert after["ready"] is True
+    assert after["windows_scored"] - before["windows_scored"] == 5
+    assert (after["windows_anomalous"] - before["windows_anomalous"]
+            == int(ref["anomalous"].sum()))
+    dclass = {k: after["pred_class_counts"][k] - before["pred_class_counts"][k]
+              for k in after["pred_class_counts"]}
+    y = np.asarray(ref["y_pred"])
+    assert dclass == {"Normal": int((y == 0).sum()),
+                      "Sensor Fault": int((y == 1).sum()),
+                      "Structural Fault": int((y == 2).sum())}
+    assert (after["requests"].get("/score 200", 0)
+            - before["requests"].get("/score 200", 0)) == 1
+    assert (after["requests"].get("/score 415", 0)
+            - before["requests"].get("/score 415", 0)) == 1
+    assert (after["requests"].get("other 404", 0)
+            - before["requests"].get("other 404", 0)) == 1
+    lat = after["latency_seconds"]["/score"]
+    assert lat["count"] >= 1 and lat["sum"] > 0
+
+    # Prometheus rendering: every non-comment line is `name{labels} value`,
+    # the totals agree with the JSON snapshot, buckets are cumulative
+    code, ctype, body = _req(base + "/metrics")
+    assert code == 200 and ctype.startswith("text/plain")
+    text = body.decode()
+    line_re = re.compile(r'^[a-z_]+(\{[^}]*\})? -?[0-9.einf+]+$', re.I)
+    for line in text.strip().split("\n"):
+        if not line.startswith("#"):
+            assert line_re.match(line), line
+    assert f'shm_windows_scored_total {after["windows_scored"]}' in text
+    cum = [int(m.group(1)) for m in re.finditer(
+        r'shm_request_seconds_bucket\{path="/score",le="[^"]*"\} (\d+)', text)]
+    assert cum and cum == sorted(cum)
+    assert cum[-1] == lat["count"]        # +Inf bucket equals _count
+
+
 def test_parse_args_bucket_policy_and_early_validation():
     """--shmx must leave the bucket policy unset so the artifact's recorded
     min_bucket/max_batch apply (regression: the daemon used to force the
