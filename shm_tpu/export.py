@@ -139,6 +139,10 @@ def save_exported_scorer(scorer, path: str | Path, *,
     }
     if rank == 4:
         manifest["stage2_threshold"] = float(scorer.stage2_threshold)
+    if getattr(scorer, "expected_anomaly_rate", None) is not None:
+        # carried so a daemon serving the standalone artifact can still
+        # baseline its DriftMonitor against the calibrated healthy rate
+        manifest["expected_anomaly_rate"] = float(scorer.expected_anomaly_rate)
     conv_impl = getattr(scorer.cnn_model, "conv_impl", None)
     if conv_impl is not None:
         # the conv lowering is frozen at trace time, so a multi-platform
@@ -200,6 +204,8 @@ class ExportedScorer:
         self.num_features = int(manifest["num_features"])
         self.threshold = float(manifest["threshold"])
         self.request_rank = int(manifest.get("request_rank", 3))
+        rate = manifest.get("expected_anomaly_rate")   # absent pre-round-3
+        self.expected_anomaly_rate = None if rate is None else float(rate)
         # explicit `is not None`: a caller's invalid 0 must hit the range
         # check below, not silently fall back to the manifest value
         self.min_bucket = int(manifest["min_bucket"] if min_bucket is None

@@ -105,6 +105,10 @@ class HybridScorer:
     so the compile-shape set is {min_bucket, 2*min_bucket, ..., max_batch}.
     """
 
+    # calibrated healthy anomaly rate (set by from_artifacts from the
+    # threshold manifest); serve_http's DriftMonitor baselines against it
+    expected_anomaly_rate: Optional[float] = None
+
     def __init__(self, vae_model, cnn_model, vae_params, cnn_variables,
                  mean, std, threshold: float, *,
                  use_fused_vae: Optional[bool] = None,
@@ -196,9 +200,15 @@ class HybridScorer:
         template = cnn.init({"params": jax.random.PRNGKey(0)},
                             jnp.zeros((2, cfg.seq_len, cfg.num_features, 2)))
         cnn_vars = load_params(template, paths.models / "cnn.msgpack")
-        thr = float(load_json(paths.processed / "vae_threshold.json")["threshold"])
+        thr_meta = load_json(paths.processed / "vae_threshold.json")
         kw.setdefault("seq_len", cfg.seq_len)
-        return cls(vae, cnn, vae_params, cnn_vars, mean, std, thr, **kw)
+        scorer = cls(vae, cnn, vae_params, cnn_vars, mean, std,
+                     float(thr_meta["threshold"]), **kw)
+        from shm_tpu.monitor import expected_rate_from_threshold_meta
+
+        scorer.expected_anomaly_rate = expected_rate_from_threshold_meta(
+            thr_meta)
+        return scorer
 
     # ------------------------------------------------------------------
     def _bucket(self, n: int) -> int:

@@ -16,6 +16,10 @@ Endpoints:
   SHM deployment actually watches — windows scored, windows the gate
   flagged anomalous, and per-class prediction counts (a drifting anomaly
   rate is the first sign of sensor trouble or model/threshold staleness).
+  When the loaded artifacts record the calibrated healthy rate (or
+  ``--expected-anomaly-rate`` supplies one), a
+  :class:`shm_tpu.monitor.DriftMonitor` turns that signal into gauges:
+  EWMA anomaly rate, two-sided CUSUM, and alert flags.
 - ``POST /score`` — an (N, T, D) float32 window stack; returns per-window
   gate MSE, anomaly decision, 3-class prediction, p(structural).
 - ``POST /score_series`` — a raw (T_total, D) float32 series; windows are
@@ -96,7 +100,7 @@ class ServerMetrics:
     means sensor trouble or a stale model/threshold.
     """
 
-    def __init__(self) -> None:
+    def __init__(self, expected_rate: Optional[float] = None) -> None:
         self._lock = threading.Lock()
         self.started = time.time()
         self.requests: dict = {}       # (path, code) -> count
@@ -104,6 +108,14 @@ class ServerMetrics:
         self.windows_scored = 0
         self.windows_anomalous = 0
         self.pred_classes = [0, 0, 0]
+        # sequential drift detection on the gate rate (shm_tpu/monitor.py);
+        # only when the calibrated healthy rate is known — from the loaded
+        # threshold manifest or the --expected-anomaly-rate flag
+        self.drift = None
+        if expected_rate is not None:
+            from shm_tpu.monitor import DriftMonitor
+
+            self.drift = DriftMonitor(expected_rate)
 
     def record(self, path: str, code: int, seconds: float | None = None,
                out: dict | None = None) -> None:
@@ -129,6 +141,9 @@ class ServerMetrics:
                 self.windows_anomalous += int(np.asarray(out["anomalous"]).sum())
                 for c in range(len(self.pred_classes)):
                     self.pred_classes[c] += int((y == c).sum())
+        if out is not None and self.drift is not None:
+            # outside self._lock: DriftMonitor has its own
+            self.drift.update(np.asarray(out["anomalous"]))
 
     def render_prometheus(self, ready: bool) -> str:
         with self._lock:
@@ -160,6 +175,36 @@ class ServerMetrics:
             ]
             for label, n in zip(_CLASS_LABELS, self.pred_classes):
                 lines.append(f'shm_pred_class_total{{label="{label}"}} {n}')
+            if self.drift is not None:
+                d = self.drift.snapshot()
+                lines += [
+                    "# HELP shm_drift_expected_rate Calibrated healthy "
+                    "anomaly rate the monitor baselines against.",
+                    "# TYPE shm_drift_expected_rate gauge",
+                    f"shm_drift_expected_rate {d['expected_rate']:.6g}",
+                    "# HELP shm_drift_ewma_rate EWMA of the per-window gate "
+                    "anomaly rate (~200-window memory).",
+                    "# TYPE shm_drift_ewma_rate gauge",
+                    f"shm_drift_ewma_rate {d['ewma_rate']:.6g}",
+                    "# HELP shm_drift_cusum Two-sided CUSUM statistic in "
+                    "excess anomalous windows (alert above "
+                    f"{d['cusum_h']:g}).",
+                    "# TYPE shm_drift_cusum gauge",
+                    f'shm_drift_cusum{{side="high"}} {d["cusum_high"]:.6g}',
+                    f'shm_drift_cusum{{side="low"}} {d["cusum_low"]:.6g}',
+                    "# HELP shm_drift_alert 1 while the CUSUM side is above "
+                    "its alert threshold.",
+                    "# TYPE shm_drift_alert gauge",
+                    f'shm_drift_alert{{side="high"}} {int(d["alert_high"])}',
+                    f'shm_drift_alert{{side="low"}} {int(d["alert_low"])}',
+                    "# HELP shm_drift_alerts_total Upward alert-threshold "
+                    "crossings since start.",
+                    "# TYPE shm_drift_alerts_total counter",
+                    f'shm_drift_alerts_total{{side="high"}} '
+                    f'{d["alerts_high_total"]}',
+                    f'shm_drift_alerts_total{{side="low"}} '
+                    f'{d["alerts_low_total"]}',
+                ]
             lines += [
                 "# HELP shm_request_seconds Scoring request wall latency "
                 "(body read through response write).",
@@ -194,6 +239,8 @@ class ServerMetrics:
                 "latency_seconds": {p: {"count": h["count"],
                                         "sum": h["sum"]}
                                     for p, h in sorted(self.latency.items())},
+                "drift": (None if self.drift is None
+                          else self.drift.snapshot()),
             }
 
 
@@ -449,7 +496,8 @@ class _Handler(BaseHTTPRequestHandler):
 def make_server(scorer, host: str = "127.0.0.1", port: int = 8787,
                 warmup: bool = True, series_strides=(1,),
                 concurrent: bool = False, batch_window_ms: float = 2.0,
-                quiet: bool = True) -> HTTPServer:
+                quiet: bool = True,
+                expected_rate: Optional[float] = None) -> HTTPServer:
     """Build an HTTP server bound to ``scorer``; warm it in the background.
 
     ``series_strides`` are the X-Stride values ``/score_series`` accepts;
@@ -486,10 +534,15 @@ def make_server(scorer, host: str = "127.0.0.1", port: int = 8787,
         batcher = DynamicBatcher(scorer, max_delay_ms=batch_window_ms)
         score_fn = batcher.score
         server_cls = ThreadingHTTPServer
+    if expected_rate is None:
+        # scorers loaded from_artifacts carry the calibrated healthy rate
+        # from their threshold manifest; hand-constructed ones don't -> no
+        # drift monitor unless the caller supplies a rate
+        expected_rate = getattr(scorer, "expected_anomaly_rate", None)
     handler = type("BoundHandler", (_Handler,),
                    {"scorer": scorer, "ready": not warmup,
                     "score_fn": score_fn, "series_lock": threading.Lock(),
-                    "metrics": ServerMetrics(),
+                    "metrics": ServerMetrics(expected_rate=expected_rate),
                     "warm_error": None, "quiet": quiet,
                     "series_strides": frozenset(int(s) for s in series_strides)})
     srv = server_cls((host, port), handler)
@@ -561,11 +614,19 @@ def _parse_args(argv):
     ap.add_argument("--batch-window-ms", type=float, default=2.0,
                     help="max time a /score request waits for co-traveling "
                          "requests in --concurrent mode (default 2 ms)")
+    ap.add_argument("--expected-anomaly-rate", type=float, default=None,
+                    metavar="P", help="healthy gate anomaly rate the drift "
+                    "monitor baselines against (default: from the loaded "
+                    "threshold manifest; pass to override or to enable "
+                    "drift on artifacts that predate the field)")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args(argv)
 
     if args.openlab is not None and args.shmx is not None:
         ap.error("--openlab and --shmx are mutually exclusive")
+    if (args.expected_anomaly_rate is not None
+            and not 0.0 < args.expected_anomaly_rate < 1.0):
+        ap.error("--expected-anomaly-rate must be in (0, 1)")
     if args.shmx is not None:
         if args.devices and args.devices > 1:
             ap.error("--devices does not apply to --shmx: exported programs "
@@ -633,7 +694,11 @@ def main(argv=None) -> None:
                       warmup=not args.no_warmup,
                       series_strides=strides, concurrent=args.concurrent,
                       batch_window_ms=args.batch_window_ms,
-                      quiet=not args.verbose)
+                      quiet=not args.verbose,
+                      expected_rate=args.expected_anomaly_rate)
+    if srv.metrics.drift is not None:
+        print(f"[serve] drift monitor on: expected anomaly rate "
+              f"{srv.metrics.drift.expected_rate:.4g} (/metrics)")
     print(f"[serve] listening on http://{args.host}:{args.port} "
           f"(healthz 503 until buckets compile)")
 

@@ -93,6 +93,10 @@ class OpenLabScorer:
     ``Codes/03_featurize.py`` artifact flow).
     """
 
+    # calibrated healthy anomaly rate (set by from_artifacts from the
+    # threshold manifest); serve_http's DriftMonitor baselines against it
+    expected_anomaly_rate: Optional[float] = None
+
     def __init__(self, vae_model, vae_params, gate_mu, gate_sd, ch_idx,
                  clip_z: float, vae_threshold: float, *,
                  stage2: str = "cnn",
@@ -283,10 +287,11 @@ class OpenLabScorer:
         conv_impl = kw.pop("conv_impl", None)
         paths = Paths(str(root), raw_dir="")
         model, params, mu, sd, manifest = _load_openlab_vae(paths, cfg)
-        thr = float(load_json(paths.vae_val_dir / "artifacts"
-                              / "vae_threshold.json")["threshold"])
+        thr_meta = load_json(paths.vae_val_dir / "artifacts"
+                             / "vae_threshold.json")
         common = dict(ch_idx=manifest["channels_idx"],
-                      clip_z=cfg.standardize_clip, vae_threshold=thr,
+                      clip_z=cfg.standardize_clip,
+                      vae_threshold=float(thr_meta["threshold"]),
                       seq_len=cfg.seq_len, num_channels=cfg.cnn.num_features)
         common.update(kw)
 
@@ -295,24 +300,30 @@ class OpenLabScorer:
                 paths, cfg, conv_impl=conv_impl)
             thr2 = float(np.load(paths.cnn_val_dir / "artifacts"
                                  / "cnn_best_threshold.npy").ravel()[0])
-            return cls(model, params, mu, sd, stage2="cnn",
-                       cnn_model=cnn_model, cnn_variables=cnn_vars,
-                       cnn_mu=cmu, cnn_sd=csd, stage2_threshold=thr2,
-                       **common)
+            scorer = cls(model, params, mu, sd, stage2="cnn",
+                         cnn_model=cnn_model, cnn_variables=cnn_vars,
+                         cnn_mu=cmu, cnn_sd=csd, stage2_threshold=thr2,
+                         **common)
+        else:
+            if stage2 not in ML_STAGE2:
+                raise ValueError(f"unknown stage2 {stage2!r}")
+            if conv_impl is not None:
+                raise ValueError("conv_impl applies only to stage2='cnn' "
+                                 f"(got stage2={stage2!r})")
+            import joblib
 
-        if stage2 not in ML_STAGE2:
-            raise ValueError(f"unknown stage2 {stage2!r}")
-        if conv_impl is not None:
-            raise ValueError("conv_impl applies only to stage2='cnn' "
-                             f"(got stage2={stage2!r})")
-        import joblib
+            mdl = joblib.load(paths.ml_dir / "artifacts" / f"{stage2}.joblib")
+            thr2 = float(np.load(paths.ml_dir / "artifacts"
+                                 / f"{stage2}_threshold.npy").ravel()[0])
+            ml_predict = cls._make_ml_predict(stage2, mdl, host_ml)
+            scorer = cls(model, params, mu, sd, stage2=stage2,
+                         ml_predict=ml_predict, stage2_threshold=thr2,
+                         **common)
+        from shm_tpu.monitor import expected_rate_from_threshold_meta
 
-        mdl = joblib.load(paths.ml_dir / "artifacts" / f"{stage2}.joblib")
-        thr2 = float(np.load(paths.ml_dir / "artifacts"
-                             / f"{stage2}_threshold.npy").ravel()[0])
-        ml_predict = cls._make_ml_predict(stage2, mdl, host_ml)
-        return cls(model, params, mu, sd, stage2=stage2,
-                   ml_predict=ml_predict, stage2_threshold=thr2, **common)
+        scorer.expected_anomaly_rate = expected_rate_from_threshold_meta(
+            thr_meta)
+        return scorer
 
     @staticmethod
     def _make_ml_predict(name: str, mdl, host_ml: bool):

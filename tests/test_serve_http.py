@@ -357,6 +357,47 @@ def test_metrics_endpoint(server):
         r'shm_request_seconds_bucket\{path="/score",le="[^"]*"\} (\d+)', text)]
     assert cum and cum == sorted(cum)
     assert cum[-1] == lat["count"]        # +Inf bucket equals _count
+    # the fixture scorer is hand-constructed (no threshold manifest), so
+    # the drift monitor must be off, not defaulted to a made-up baseline
+    assert after["drift"] is None
+    assert "shm_drift_" not in text
+
+
+def test_metrics_drift_monitor(server):
+    """An explicit expected_rate turns the drift monitor on: the snapshot
+    tracks scored traffic, a saturated gate raises the high-side alert, and
+    the Prometheus rendering carries the drift gauges."""
+    base, scorer, T, D = server
+    srv = make_server(scorer, port=0, warmup=False,   # buckets already warm
+                      expected_rate=0.01)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        b2 = f"http://127.0.0.1:{srv.server_address[1]}"
+        W = np.random.default_rng(11).normal(
+            size=(32, T, D)).astype(np.float32)
+        ref = scorer.score(W)
+        _req(b2 + "/score", data=W.tobytes(),
+             headers={"Content-Type": "application/octet-stream",
+                      "X-Shape": f"32,{T},{D}"}, method="POST")
+        _, _, body = _req(b2 + "/metrics",
+                          headers={"Accept": "application/json"})
+        d = json.loads(body)["drift"]
+        assert d["expected_rate"] == pytest.approx(0.01)
+        assert d["windows"] == 32
+        assert d["anomalous"] == int(ref["anomalous"].sum())
+        # random-params scorer at threshold 1.0 gates every noise window ->
+        # a saturated rate is exactly the drift the monitor must flag
+        if d["anomalous"] == d["windows"]:
+            assert d["alert_high"] and d["alerts_high_total"] >= 1
+        _, _, text = _req(b2 + "/metrics")
+        text = text.decode()
+        assert "shm_drift_expected_rate 0.01" in text
+        assert 'shm_drift_cusum{side="high"}' in text
+        assert 'shm_drift_alert{side="low"} 0' in text
+    finally:
+        srv.shutdown()
+        srv.server_close()
 
 
 def test_parse_args_bucket_policy_and_early_validation():
