@@ -360,14 +360,39 @@ class StreamScorer:
     The reference has no streaming path (every evaluation script scores a
     complete file after the fact — e.g. 4DOF/Scripts/06_test_full_pipeline
     .py:276-314); this subsystem is deployment-native by design.
+
+    ``monitor``: drift detection on the stream's gate decisions
+    (:class:`shm_tpu.monitor.DriftMonitor`). The default ``"auto"`` attaches
+    one when the wrapped scorer knows its calibrated healthy anomaly rate
+    (loaded via ``from_artifacts``); pass a ``DriftMonitor`` to share/tune
+    one, or ``None`` to disable. Every ``push`` folds the newly-scored
+    windows in stream order, so ``self.monitor.snapshot()`` is the live
+    drift state; because the monitor's batch updates are chunking-invariant,
+    the state is independent of how the stream arrives — the same contract
+    the scoring outputs keep. ``reset()`` does NOT clear the monitor: drift
+    history tracks the model/threshold, which outlives any one stream
+    (call ``monitor.reset()`` after recalibration).
     """
 
-    def __init__(self, scorer: HybridScorer, stride: int = 1):
+    def __init__(self, scorer: HybridScorer, stride: int = 1,
+                 monitor="auto"):
         if scorer.seq_len is None:
             raise ValueError("streaming needs seq_len: construct the scorer "
                              "with seq_len= or use from_artifacts()")
         if stride < 1:
             raise ValueError(f"stride must be >= 1, got {stride}")
+        if isinstance(monitor, str):
+            if monitor != "auto":
+                raise ValueError(f"monitor must be 'auto', None, or a "
+                                 f"DriftMonitor, got {monitor!r}")
+            rate = getattr(scorer, "expected_anomaly_rate", None)
+            if rate is not None:
+                from shm_tpu.monitor import DriftMonitor
+
+                monitor = DriftMonitor(rate)
+            else:
+                monitor = None
+        self.monitor = monitor
         self.scorer = scorer
         self.stride = int(stride)
         self._D = int(np.asarray(scorer.mean).shape[-1])
@@ -415,6 +440,8 @@ class StreamScorer:
             self._skip = consumed - drop
             self._next_start += consumed
         out["window_start"] = starts
+        if self.monitor is not None and out["anomalous"].size:
+            self.monitor.update(out["anomalous"])
         return out
 
     def reset(self) -> None:

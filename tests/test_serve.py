@@ -134,6 +134,47 @@ def test_stream_scorer_edges(setup):
     np.testing.assert_array_equal(out["window_start"], [0])
 
 
+def test_stream_scorer_drift_monitor(setup):
+    """monitor='auto' attaches a DriftMonitor only when the scorer knows its
+    calibrated rate; push() folds gate decisions in stream order and the
+    state equals feeding the whole decision stream at once; reset() keeps
+    drift history (it tracks the model, not the stream)."""
+    from shm_tpu.monitor import DriftMonitor
+
+    T = 20
+    scorer = _scorer(setup, min_bucket=16, max_batch=64, seq_len=T)
+    # hand-constructed scorer: no calibrated rate -> auto resolves to off
+    assert StreamScorer(scorer).monitor is None
+    scorer.expected_anomaly_rate = 0.01
+    stream = StreamScorer(scorer, stride=3)
+    assert isinstance(stream.monitor, DriftMonitor)
+    assert stream.monitor.expected_rate == pytest.approx(0.01)
+
+    x = np.asarray(jax.random.normal(jax.random.PRNGKey(9), (400, 4)),
+                   np.float32)
+    decisions = []
+    for lo in range(0, 400, 90):                  # ragged stream chunks
+        decisions.append(stream.push(x[lo:lo + 90])["anomalous"])
+    whole = DriftMonitor(0.01)
+    whole.update(np.concatenate(decisions))
+    got, ref = stream.monitor.snapshot(), whole.snapshot()
+    for k in ("windows", "anomalous", "ewma_rate", "cusum_high",
+              "cusum_low", "alerts_high_total", "alerts_low_total"):
+        assert got[k] == pytest.approx(ref[k], rel=1e-12), k
+    assert got["windows"] == sum(len(d) for d in decisions) > 0
+
+    before = stream.monitor.snapshot()
+    stream.reset()
+    assert stream.monitor.snapshot() == before   # reset keeps drift history
+
+    # explicit instances are shared verbatim; None and junk are rejected/off
+    shared = DriftMonitor(0.2)
+    assert StreamScorer(scorer, monitor=shared).monitor is shared
+    assert StreamScorer(scorer, monitor=None).monitor is None
+    with pytest.raises(ValueError, match="monitor"):
+        StreamScorer(scorer, monitor="yes")
+
+
 def test_bucket_shapes(setup):
     scorer = _scorer(setup, min_bucket=16, max_batch=128)
     assert list(scorer.buckets()) == [16, 32, 64, 128]
