@@ -30,6 +30,15 @@ Endpoints:
   ``--series-strides`` are accepted — an unwarmed stride would compile
   inline for minutes). Same response schema, one entry per window.
 
+- Admin surface (opt-in via ``--admin``; unauthenticated — bind it to a
+  trusted interface): ``POST /reload`` rebuilds the scorer from the SAME
+  artifact source (after retraining/recalibration), warms every bucket
+  while the old engine keeps serving, then swaps atomically — zero
+  downtime, no cold requests; ``GET /reload`` reports progress
+  (idle/loading/warming/done/failed + generation). ``POST /drift/reset``
+  clears drift-monitor stream state; a reload re-baselines drift against
+  the new calibration automatically.
+
   Request bodies, by Content-Type:
   - ``application/octet-stream``: raw little-endian float32 with an
     ``X-Shape: N,T,D`` (or ``T_total,D`` for /score_series) header
@@ -246,14 +255,25 @@ class ServerMetrics:
 
 class _Handler(BaseHTTPRequestHandler):
     # class attributes injected by make_server()
-    scorer = None
-    score_fn = None             # DynamicBatcher.score, or None -> scorer.score
+    # (scorer, score_fn, batcher) — ONE attribute so /reload swaps the
+    # whole serving engine atomically (a request unpacks it once and can
+    # never mix the old scorer with the new batcher or vice versa);
+    # score_fn None -> scorer.score
+    engine = (None, None, None)
     series_lock = None          # serializes /score_series device dispatch
     metrics = None              # shared ServerMetrics (set by make_server)
     ready = False
     warm_error = None           # str once the warmup thread has failed
     quiet = True
     series_strides = frozenset({1})   # /score_series strides warmed at start
+    # admin surface (POST /reload, /drift/reset) — opt-in via make_server
+    admin = False
+    reload_fn = None            # zero-arg -> NEW scorer (enables /reload)
+    reload_lock = None
+    reload_state = None         # dict guarded by reload_lock
+    explicit_rate = None        # --expected-anomaly-rate; survives reloads
+    batch_window_ms = 2.0       # rebuild batchers with the startup window
+    warm_on_reload = True       # mirror the startup warmup policy
     protocol_version = "HTTP/1.1"
     # idle keep-alive timeout: in single-threaded mode, without it ONE client
     # holding a persistent connection open (e.g. a pooling HTTP library
@@ -309,7 +329,7 @@ class _Handler(BaseHTTPRequestHandler):
             else:
                 self._send_json(503, {"status": "warming"})
         elif self.path == "/info":
-            s = self.scorer
+            s = self.engine[0]
             self._send_json(200, {
                 "buckets": list(s.buckets()),
                 "min_bucket": s.min_bucket,
@@ -322,7 +342,15 @@ class _Handler(BaseHTTPRequestHandler):
                 "mesh_devices": (int(s.mesh.devices.size)
                                  if s.mesh is not None else None),
                 "labels": {str(i): lbl for i, lbl in enumerate(_CLASS_LABELS)},
+                "admin": bool(self.admin),
+                "reload": self._reload_snapshot(),
             })
+        elif self.path == "/reload":
+            if not self.admin:
+                self._err(403, "admin endpoints disabled (start the daemon "
+                               "with --admin)")
+            else:
+                self._send_json(200, self._reload_snapshot())
         elif self.path == "/metrics":
             if self.metrics is None:     # handler built without make_server()
                 self._err(404, "metrics not enabled")
@@ -418,7 +446,110 @@ class _Handler(BaseHTTPRequestHandler):
                 self.metrics.record(p, self._status,
                                     time.perf_counter() - t0, self._outcome)
 
+    # ------------------------------------------------------------------
+    # admin surface
+    def _reload_snapshot(self) -> Optional[dict]:
+        if self.reload_state is None:
+            return None
+        with self.reload_lock:
+            return dict(self.reload_state)
+
+    def _handle_reload(self) -> None:
+        """Hot artifact reload: rebuild the scorer from disk, WARM it while
+        the old engine keeps serving, then swap atomically — live traffic
+        never hits a cold (compiling) scorer. 202 + poll GET /reload."""
+        if not self.admin:
+            self._err(403, "admin endpoints disabled (start the daemon "
+                           "with --admin)")
+            return
+        if self.reload_fn is None:
+            self._err(501, "this server has no reload_fn (scorer was "
+                           "hand-constructed; reload needs an artifact "
+                           "loader to rebuild from)")
+            return
+        cls = type(self)
+        srv = self.server           # so shutdown paths close the LIVE batcher
+        with self.reload_lock:
+            if self.reload_state["state"] in ("loading", "warming"):
+                self._err(409, "a reload is already in progress")
+                return
+            self.reload_state.update(state="loading", error=None,
+                                     generation=self.reload_state
+                                     ["generation"] + 1)
+            snap = dict(self.reload_state)
+
+        def _worker():
+            try:
+                new = cls.reload_fn()
+                with cls.reload_lock:
+                    cls.reload_state["state"] = "warming"
+                if cls.warm_on_reload:
+                    new.warmup()
+                    if getattr(new, "mesh", None) is None and hasattr(
+                            new, "warmup_series"):
+                        for s in sorted(cls.series_strides):
+                            new.warmup_series(stride=s)
+                old_scorer, _, old_batcher = cls.engine
+                new_batcher = new_fn = None
+                if old_batcher is not None:
+                    from shm_tpu.serve_batch import DynamicBatcher
+
+                    new_batcher = DynamicBatcher(
+                        new, max_delay_ms=cls.batch_window_ms)
+                    new_fn = new_batcher.score
+                cls.engine = (new, new_fn, new_batcher)   # the atomic swap
+                srv.batcher = new_batcher
+                # drift baselines against the NEW calibration (an explicit
+                # --expected-anomaly-rate still wins); stale stream state
+                # from the old model is dropped with it
+                rate = (cls.explicit_rate if cls.explicit_rate is not None
+                        else getattr(new, "expected_anomaly_rate", None))
+                if rate is None:
+                    cls.metrics.drift = None
+                else:
+                    from shm_tpu.monitor import DriftMonitor
+
+                    cls.metrics.drift = DriftMonitor(rate)
+                with cls.reload_lock:
+                    cls.reload_state["state"] = "done"
+                if old_batcher is not None:
+                    # grace: a request that unpacked the old engine just
+                    # before the swap must still reach old_batcher.score()
+                    # before close() starts refusing new work
+                    time.sleep(2.0)
+                    old_batcher.close()
+                del old_scorer                 # free device buffers
+            except Exception as e:             # old engine keeps serving
+                with cls.reload_lock:
+                    cls.reload_state.update(state="failed", error=str(e))
+
+        threading.Thread(target=_worker, name="scorer-reload",
+                         daemon=True).start()
+        self._send_json(202, snap)
+
+    def _handle_drift_reset(self) -> None:
+        """Forget drift-monitor stream state (after recalibrating the
+        threshold or re-baselining the expected rate)."""
+        if not self.admin:
+            self._err(403, "admin endpoints disabled (start the daemon "
+                           "with --admin)")
+            return
+        drift = None if self.metrics is None else self.metrics.drift
+        if drift is None:
+            self._err(409, "no drift monitor on this server (artifacts "
+                           "record no calibrated rate and no "
+                           "--expected-anomaly-rate was given)")
+            return
+        drift.reset()
+        self._send_json(200, drift.snapshot())
+
     def _handle_post(self):
+        if self.path == "/reload":
+            self._handle_reload()
+            return
+        if self.path == "/drift/reset":
+            self._handle_drift_reset()
+            return
         if self.path not in ("/score", "/score_series"):
             self._err(404, f"unknown path {self.path!r}")
             return
@@ -428,12 +559,13 @@ class _Handler(BaseHTTPRequestHandler):
         if not self.ready:
             self._err(503, "still warming up")
             return
-        T = self.scorer.seq_len
-        D = int(self.scorer.num_features)
-        rank = int(getattr(self.scorer, "request_rank", 3))
+        scorer, score_fn, _ = self.engine    # one read: reload-consistent
+        T = scorer.seq_len
+        D = int(scorer.num_features)
+        rank = int(getattr(scorer, "request_rank", 3))
 
         if self.path == "/score_series":
-            if not hasattr(self.scorer, "score_series") or rank == 4:
+            if not hasattr(scorer, "score_series") or rank == 4:
                 self._err(422, "this scorer has no raw-series endpoint "
                                "(openLAB cleaning is a per-run cascade that "
                                "lives in extraction — POST extracted window "
@@ -465,7 +597,7 @@ class _Handler(BaseHTTPRequestHandler):
                 # one lock for all series dispatch: in concurrent mode many
                 # connection threads exist, but device work stays serialized
                 with self.series_lock:
-                    out = self.scorer.score_series(x, stride=stride)
+                    out = scorer.score_series(x, stride=stride)
             except Exception as e:                # pragma: no cover - defense
                 self._err(500, f"scoring failed: {e}")
                 return
@@ -486,7 +618,7 @@ class _Handler(BaseHTTPRequestHandler):
                            "shape would recompile every bucket")
             return
         try:
-            out = (self.score_fn or self.scorer.score)(W)
+            out = (score_fn or scorer.score)(W)
         except Exception as e:                    # pragma: no cover - defense
             self._err(500, f"scoring failed: {e}")
             return
@@ -497,8 +629,16 @@ def make_server(scorer, host: str = "127.0.0.1", port: int = 8787,
                 warmup: bool = True, series_strides=(1,),
                 concurrent: bool = False, batch_window_ms: float = 2.0,
                 quiet: bool = True,
-                expected_rate: Optional[float] = None) -> HTTPServer:
+                expected_rate: Optional[float] = None,
+                admin: bool = False, reload_fn=None) -> HTTPServer:
     """Build an HTTP server bound to ``scorer``; warm it in the background.
+
+    ``admin=True`` enables the mutating endpoints: ``POST /reload`` (hot
+    artifact reload — ``reload_fn()`` builds a NEW scorer from disk, it is
+    warmed while the old one keeps serving, then the serving engine swaps
+    atomically; poll ``GET /reload`` for state) and ``POST /drift/reset``
+    (forget drift-monitor stream state after recalibration). Keep admin
+    servers on a trusted interface — there is no authentication.
 
     ``series_strides`` are the X-Stride values ``/score_series`` accepts;
     every accepted stride is warmed during startup (acceptance implies
@@ -534,17 +674,25 @@ def make_server(scorer, host: str = "127.0.0.1", port: int = 8787,
         batcher = DynamicBatcher(scorer, max_delay_ms=batch_window_ms)
         score_fn = batcher.score
         server_cls = ThreadingHTTPServer
+    explicit_rate = expected_rate
     if expected_rate is None:
         # scorers loaded from_artifacts carry the calibrated healthy rate
         # from their threshold manifest; hand-constructed ones don't -> no
         # drift monitor unless the caller supplies a rate
         expected_rate = getattr(scorer, "expected_anomaly_rate", None)
     handler = type("BoundHandler", (_Handler,),
-                   {"scorer": scorer, "ready": not warmup,
-                    "score_fn": score_fn, "series_lock": threading.Lock(),
+                   {"engine": (scorer, score_fn, batcher),
+                    "ready": not warmup, "series_lock": threading.Lock(),
                     "metrics": ServerMetrics(expected_rate=expected_rate),
                     "warm_error": None, "quiet": quiet,
-                    "series_strides": frozenset(int(s) for s in series_strides)})
+                    "series_strides": frozenset(int(s) for s in series_strides),
+                    "admin": bool(admin), "reload_fn": reload_fn,
+                    "reload_lock": threading.Lock(),
+                    "reload_state": {"state": "idle", "generation": 0,
+                                     "error": None},
+                    "explicit_rate": explicit_rate,
+                    "batch_window_ms": float(batch_window_ms),
+                    "warm_on_reload": bool(warmup)})
     srv = server_cls((host, port), handler)
     srv.batcher = batcher
     srv.metrics = handler.metrics
@@ -619,6 +767,11 @@ def _parse_args(argv):
                     "monitor baselines against (default: from the loaded "
                     "threshold manifest; pass to override or to enable "
                     "drift on artifacts that predate the field)")
+    ap.add_argument("--admin", action="store_true",
+                    help="enable the mutating admin endpoints: POST /reload "
+                         "(hot artifact reload: warm-then-swap, zero "
+                         "downtime) and POST /drift/reset. Unauthenticated "
+                         "— keep the bind address trusted")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args(argv)
 
@@ -695,7 +848,9 @@ def main(argv=None) -> None:
                       series_strides=strides, concurrent=args.concurrent,
                       batch_window_ms=args.batch_window_ms,
                       quiet=not args.verbose,
-                      expected_rate=args.expected_anomaly_rate)
+                      expected_rate=args.expected_anomaly_rate,
+                      admin=args.admin,
+                      reload_fn=(lambda: _load_scorer(args)))
     if srv.metrics.drift is not None:
         print(f"[serve] drift monitor on: expected anomaly rate "
               f"{srv.metrics.drift.expected_rate:.4g} (/metrics)")

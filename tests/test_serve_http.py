@@ -3,6 +3,7 @@
 import io
 import json
 import threading
+import time
 import urllib.request
 import urllib.error
 
@@ -424,3 +425,192 @@ def test_parse_args_bucket_policy_and_early_validation():
                 ["--shmx", "a", "--devices", "2"]):
         with pytest.raises(SystemExit):
             _parse_args(bad)
+
+
+# ----------------------------------------------------------------------
+# admin surface: hot reload + drift reset
+
+
+def _mini_scorer(T, D, threshold, rate=None):
+    cfg = VAEConfig(4, 3, 16, 2, 0.0, use_layernorm=True)
+    vae = vae_from_config(cfg)
+    cnn = CNN4DOF(dropout=0.0)
+    key = jax.random.PRNGKey(0)
+    vae_params = vae.init({"params": key}, jnp.zeros((2, T, D)))["params"]
+    cnn_vars = cnn.init({"params": key}, jnp.zeros((2, T, D, 2)))
+    sc = HybridScorer(vae, cnn, vae_params, cnn_vars,
+                      np.zeros(D, np.float32), np.ones(D, np.float32),
+                      threshold, use_fused_vae=False, min_bucket=16,
+                      max_batch=32, seq_len=T)
+    sc.expected_anomaly_rate = rate
+    return sc
+
+
+def _wait_reload(base, want="done", tries=200):
+    for _ in range(tries):
+        _, _, body = _req(base + "/reload")
+        state = json.loads(body)
+        if state["state"] == want:
+            return state
+        time.sleep(0.05)
+    raise AssertionError(f"reload never reached {want!r}: {state}")
+
+
+def test_admin_endpoints_disabled_by_default(server):
+    """Without admin=True the mutating endpoints must refuse (403), and the
+    read side reports admin off."""
+    base, _, _, _ = server
+    _, _, body = _req(base + "/info")
+    assert json.loads(body)["admin"] is False
+    for path in ("/reload", "/drift/reset"):
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _req(base + path, data=b"", method="POST")
+        assert ei.value.code == 403
+
+
+def test_admin_reload_hot_swap():
+    """POST /reload rebuilds the scorer via reload_fn, warms it, and swaps
+    atomically: decisions flip to the new threshold, /info reflects the new
+    scorer, drift re-baselines against the new calibration, and the old
+    engine served throughout (no 503s). A failing reload_fn leaves the old
+    engine serving."""
+    T, D = 20, 4
+    old = _mini_scorer(T, D, threshold=1e-6)          # everything anomalous
+    new_scorers = [_mini_scorer(T, D, threshold=1e9, rate=0.02)]
+
+    calls = {"n": 0}
+
+    def reload_fn():
+        calls["n"] += 1
+        if not new_scorers:
+            raise RuntimeError("artifact dir vanished")
+        return new_scorers.pop()
+
+    srv = make_server(old, port=0, admin=True, reload_fn=reload_fn)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    assert srv.warm_event.wait(timeout=300)
+    try:
+        W = np.random.default_rng(0).normal(size=(8, T, D)).astype(np.float32)
+        hdr = {"Content-Type": "application/octet-stream",
+               "X-Shape": f"8,{T},{D}"}
+        _, _, body = _req(base + "/score", data=W.tobytes(), headers=hdr,
+                          method="POST")
+        assert all(json.loads(body)["anomalous"])     # old threshold 1e-6
+        assert json.loads(_req(base + "/metrics",
+                               headers={"Accept": "application/json"}
+                               )[2])["drift"] is None  # old scorer: no rate
+
+        code, _, body = _req(base + "/reload", data=b"", method="POST")
+        assert code == 202 and json.loads(body)["state"] == "loading"
+        state = _wait_reload(base)
+        assert state["generation"] == 1 and state["error"] is None
+        assert calls["n"] == 1
+
+        _, _, body = _req(base + "/score", data=W.tobytes(), headers=hdr,
+                          method="POST")
+        assert not any(json.loads(body)["anomalous"])  # new threshold 1e9
+        _, _, body = _req(base + "/info")
+        assert json.loads(body)["threshold"] == pytest.approx(1e9)
+        d = json.loads(_req(base + "/metrics",
+                            headers={"Accept": "application/json"})[2])["drift"]
+        assert d is not None and d["expected_rate"] == pytest.approx(0.02)
+        assert d["windows"] == 8   # fresh baseline: only post-reload traffic
+
+        # second reload fails -> state failed, old (=swapped) engine serves on
+        code, _, _ = _req(base + "/reload", data=b"", method="POST")
+        assert code == 202
+        state = _wait_reload(base, want="failed")
+        assert "vanished" in state["error"] and state["generation"] == 2
+        _, _, body = _req(base + "/score", data=W.tobytes(), headers=hdr,
+                          method="POST")
+        assert not any(json.loads(body)["anomalous"])
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_admin_reload_501_without_reload_fn_and_drift_reset():
+    """admin=True without a reload_fn -> /reload is 501; /drift/reset clears
+    stream state (and is 409 when no monitor exists)."""
+    T, D = 20, 4
+    sc = _mini_scorer(T, D, threshold=1e-6, rate=0.01)
+    srv = make_server(sc, port=0, admin=True)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    assert srv.warm_event.wait(timeout=300)
+    try:
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _req(base + "/reload", data=b"", method="POST")
+        assert ei.value.code == 501
+
+        W = np.random.default_rng(1).normal(size=(8, T, D)).astype(np.float32)
+        _req(base + "/score", data=W.tobytes(),
+             headers={"Content-Type": "application/octet-stream",
+                      "X-Shape": f"8,{T},{D}"}, method="POST")
+        # read drift over HTTP: metrics.record() runs after the /score
+        # response is written, so a later request is ordered behind it —
+        # a direct srv.metrics read here would race that finally-block
+        d = json.loads(_req(base + "/metrics",
+                            headers={"Accept": "application/json"})[2])["drift"]
+        assert d["windows"] == 8
+        code, _, body = _req(base + "/drift/reset", data=b"", method="POST")
+        assert code == 200 and json.loads(body)["windows"] == 0
+        d = json.loads(_req(base + "/metrics",
+                            headers={"Accept": "application/json"})[2])["drift"]
+        assert d["windows"] == 0
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+    plain = make_server(_mini_scorer(T, D, 1.0), port=0, admin=True)
+    t = threading.Thread(target=plain.serve_forever, daemon=True)
+    t.start()
+    b2 = f"http://127.0.0.1:{plain.server_address[1]}"
+    assert plain.warm_event.wait(timeout=300)
+    try:
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _req(b2 + "/drift/reset", data=b"", method="POST")
+        assert ei.value.code == 409        # no calibrated rate -> no monitor
+    finally:
+        plain.shutdown()
+        plain.server_close()
+
+
+def test_admin_reload_concurrent_mode_swaps_batcher():
+    """In --concurrent mode the reload must hand /score traffic to a NEW
+    DynamicBatcher bound to the new scorer, update srv.batcher, and close
+    the old batcher after the grace window."""
+    T, D = 20, 4
+    old = _mini_scorer(T, D, threshold=1e-6)
+    new_scorers = [_mini_scorer(T, D, threshold=1e9)]
+    srv = make_server(old, port=0, admin=True, concurrent=True,
+                      reload_fn=lambda: new_scorers.pop())
+    first_batcher = srv.batcher
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    assert srv.warm_event.wait(timeout=300)
+    try:
+        W = np.random.default_rng(2).normal(size=(4, T, D)).astype(np.float32)
+        hdr = {"Content-Type": "application/octet-stream",
+               "X-Shape": f"4,{T},{D}"}
+        code, _, _ = _req(base + "/reload", data=b"", method="POST")
+        assert code == 202
+        _wait_reload(base)
+        assert srv.batcher is not first_batcher and srv.batcher is not None
+        _, _, body = _req(base + "/score", data=W.tobytes(), headers=hdr,
+                          method="POST")
+        assert not any(json.loads(body)["anomalous"])
+        # the old batcher is closed after the 2 s grace window
+        deadline = time.time() + 10
+        while not first_batcher._closed and time.time() < deadline:
+            time.sleep(0.2)
+        assert first_batcher._closed
+    finally:
+        srv.shutdown()
+        srv.server_close()
+        if srv.batcher is not None:
+            srv.batcher.close()
