@@ -448,6 +448,23 @@ class _Handler(BaseHTTPRequestHandler):
 
     # ------------------------------------------------------------------
     # admin surface
+    def _drain_body(self) -> None:
+        """Consume any request body the handler doesn't use (admin POSTs):
+        under HTTP/1.1 keep-alive, unread body bytes would be parsed as the
+        NEXT request line on this connection."""
+        try:
+            n = int(self.headers.get("Content-Length", 0) or 0)
+        except (TypeError, ValueError):
+            n = -1
+        if n < 0 or n > MAX_BODY_BYTES:
+            self.close_connection = True
+            return
+        while n > 0:
+            chunk = self.rfile.read(min(n, 65536))
+            if not chunk:
+                break
+            n -= len(chunk)
+
     def _reload_snapshot(self) -> Optional[dict]:
         if self.reload_state is None:
             return None
@@ -458,6 +475,7 @@ class _Handler(BaseHTTPRequestHandler):
         """Hot artifact reload: rebuild the scorer from disk, WARM it while
         the old engine keeps serving, then swap atomically — live traffic
         never hits a cold (compiling) scorer. 202 + poll GET /reload."""
+        self._drain_body()
         if not self.admin:
             self._err(403, "admin endpoints disabled (start the daemon "
                            "with --admin)")
@@ -510,6 +528,10 @@ class _Handler(BaseHTTPRequestHandler):
                     from shm_tpu.monitor import DriftMonitor
 
                     cls.metrics.drift = DriftMonitor(rate)
+                # a warmed swap proves serving is healthy: recover from a
+                # FAILED STARTUP warmup (warm_error had /score answering 500)
+                cls.warm_error = None
+                cls.ready = True
                 with cls.reload_lock:
                     cls.reload_state["state"] = "done"
                 if old_batcher is not None:
@@ -530,6 +552,7 @@ class _Handler(BaseHTTPRequestHandler):
     def _handle_drift_reset(self) -> None:
         """Forget drift-monitor stream state (after recalibrating the
         threshold or re-baselining the expected rate)."""
+        self._drain_body()
         if not self.admin:
             self._err(403, "admin endpoints disabled (start the daemon "
                            "with --admin)")

@@ -614,3 +614,83 @@ def test_admin_reload_concurrent_mode_swaps_batcher():
         srv.server_close()
         if srv.batcher is not None:
             srv.batcher.close()
+
+
+def test_admin_posts_drain_body_on_keepalive():
+    """Admin POSTs with a body the handler ignores must drain it — leftover
+    bytes would be parsed as the NEXT request line on a keep-alive
+    connection."""
+    import http.client
+
+    T, D = 20, 4
+    sc = _mini_scorer(T, D, threshold=1e-6, rate=0.01)
+    srv = make_server(sc, port=0, admin=True)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    assert srv.warm_event.wait(timeout=300)
+    conn = http.client.HTTPConnection("127.0.0.1", srv.server_address[1],
+                                      timeout=30)
+    try:
+        body = b'{"why": "recalibrated", "pad": "' + b"x" * 4096 + b'"}'
+        conn.request("POST", "/drift/reset", body=body,
+                     headers={"Content-Type": "application/json"})
+        r = conn.getresponse()
+        assert r.status == 200
+        assert json.loads(r.read())["windows"] == 0
+        # SAME connection: a stale body would corrupt this request line
+        conn.request("GET", "/healthz")
+        r = conn.getresponse()
+        assert r.status == 200 and json.loads(r.read())["warm"] is True
+    finally:
+        conn.close()
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_admin_reload_recovers_from_failed_startup_warmup():
+    """A scorer whose startup warmup failed leaves /healthz and /score at
+    500 — a successful /reload (new scorer, warmed) must clear the error
+    and bring the daemon to ready."""
+    T, D = 20, 4
+
+    class BrokenScorer:
+        mean = np.zeros(D, np.float32)
+        threshold = np.float32(1.0)
+        min_bucket, max_batch, seq_len = 16, 32, T
+        num_features = D
+        use_fused_vae = False
+        mesh = None
+
+        def buckets(self):
+            return [16, 32]
+
+        def warmup(self):
+            raise RuntimeError("compile exploded")
+
+    good = [_mini_scorer(T, D, threshold=1e9)]
+    srv = make_server(BrokenScorer(), port=0, admin=True,
+                      reload_fn=lambda: good.pop())
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        assert srv.warm_event.wait(timeout=30)
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _req(base + "/healthz")
+        assert ei.value.code == 500
+
+        code, _, _ = _req(base + "/reload", data=b"", method="POST")
+        assert code == 202
+        _wait_reload(base)
+        code, _, body = _req(base + "/healthz")
+        assert code == 200 and json.loads(body)["warm"] is True
+        W = np.zeros((4, T, D), np.float32)
+        code, _, body = _req(base + "/score", data=W.tobytes(),
+                             headers={"Content-Type":
+                                      "application/octet-stream",
+                                      "X-Shape": f"4,{T},{D}"},
+                             method="POST")
+        assert code == 200 and not any(json.loads(body)["anomalous"])
+    finally:
+        srv.shutdown()
+        srv.server_close()
