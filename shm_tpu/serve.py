@@ -108,6 +108,10 @@ class HybridScorer:
     # calibrated healthy anomaly rate (set by from_artifacts from the
     # threshold manifest); serve_http's DriftMonitor baselines against it
     expected_anomaly_rate: Optional[float] = None
+    # the percentile the loaded threshold was calibrated at (from the
+    # manifest's "percentile"; None when hand-constructed) — the default
+    # for serve_http's POST /recalibrate
+    calibration_percentile: Optional[float] = None
 
     def __init__(self, vae_model, cnn_model, vae_params, cnn_variables,
                  mean, std, threshold: float, *,
@@ -208,7 +212,16 @@ class HybridScorer:
 
         scorer.expected_anomaly_rate = expected_rate_from_threshold_meta(
             thr_meta)
+        pct = thr_meta.get("percentile")
+        scorer.calibration_percentile = None if pct is None else float(pct)
         return scorer
+
+    def set_threshold(self, threshold: float) -> None:
+        """Swap the gate threshold in place (live recalibration). The
+        threshold rides every dispatch as an ARGUMENT, so no recompiles —
+        but it must stay the committed jnp.float32 scalar: a bare Python
+        float is weakly-typed and would retrace every warmed bucket."""
+        self.threshold = jnp.float32(float(threshold))
 
     # ------------------------------------------------------------------
     def _bucket(self, n: int) -> int:

@@ -30,6 +30,16 @@ Endpoints:
   ``--series-strides`` are accepted — an unwarmed stride would compile
   inline for minutes). Same response schema, one entry per window.
 
+- Shadow mode (``--shadow PATH``): load a CANDIDATE scorer next to the
+  primary (another artifact root, or a ``.shmx`` export) and re-score every
+  served request with it **asynchronously** — responses always come from
+  the primary; the candidate's gate/prediction agreement accumulates as
+  ``shm_shadow_*`` metrics (:class:`shm_tpu.serve_shadow.ShadowEngine`).
+  This is how a throughput lever like ``--cell min_gru`` — quality-parity
+  on 4DOF but measurably weaker on the openLAB bridge (BENCHMARKS.md) —
+  gets validated on the deployment's OWN traffic before promotion.
+  ``POST /shadow/reset`` (admin) zeroes the comparison counters.
+
 - Admin surface (opt-in via ``--admin``; unauthenticated — bind it to a
   trusted interface): ``POST /reload`` rebuilds the scorer from the SAME
   artifact source (after retraining/recalibration), warms every bucket
@@ -37,7 +47,13 @@ Endpoints:
   downtime, no cold requests; ``GET /reload`` reports progress
   (idle/loading/warming/done/failed + generation). ``POST /drift/reset``
   clears drift-monitor stream state; a reload re-baselines drift against
-  the new calibration automatically.
+  the new calibration automatically. ``POST /recalibrate`` swaps the gate
+  threshold in place from an operator-supplied HEALTHY window stack (the
+  drift monitor's low-side alert is exactly the "calibration is stale"
+  signal this answers): body as for /score, optional ``X-Percentile``
+  (default: the loaded calibration's percentile), scored on the warmed
+  buckets — no recompiles, drift re-baselined; in-memory only (/reload
+  restores the on-disk calibration).
 
   Request bodies, by Content-Type:
   - ``application/octet-stream``: raw little-endian float32 with an
@@ -272,6 +288,7 @@ class _Handler(BaseHTTPRequestHandler):
     reload_lock = None
     reload_state = None         # dict guarded by reload_lock
     explicit_rate = None        # --expected-anomaly-rate; survives reloads
+    shadow = None               # ShadowEngine re-scoring served traffic
     batch_window_ms = 2.0       # rebuild batchers with the startup window
     warm_on_reload = True       # mirror the startup warmup policy
     protocol_version = "HTTP/1.1"
@@ -344,6 +361,8 @@ class _Handler(BaseHTTPRequestHandler):
                 "labels": {str(i): lbl for i, lbl in enumerate(_CLASS_LABELS)},
                 "admin": bool(self.admin),
                 "reload": self._reload_snapshot(),
+                "shadow": (None if self.shadow is None
+                           else self.shadow.snapshot()),
             })
         elif self.path == "/reload":
             if not self.admin:
@@ -355,11 +374,15 @@ class _Handler(BaseHTTPRequestHandler):
             if self.metrics is None:     # handler built without make_server()
                 self._err(404, "metrics not enabled")
             elif (self.headers.get("Accept") or "") == "application/json":
-                self._send_json(200, self.metrics.snapshot(ready=self.ready))
+                snap = self.metrics.snapshot(ready=self.ready)
+                snap["shadow"] = (None if self.shadow is None
+                                  else self.shadow.snapshot())
+                self._send_json(200, snap)
             else:
-                self._send(200,
-                           self.metrics.render_prometheus(
-                               ready=self.ready).encode(),
+                text = self.metrics.render_prometheus(ready=self.ready)
+                if self.shadow is not None:
+                    text += self.shadow.render_prometheus()
+                self._send(200, text.encode(),
                            "text/plain; version=0.0.4; charset=utf-8")
         else:
             self._err(404, f"unknown path {self.path!r}")
@@ -528,6 +551,11 @@ class _Handler(BaseHTTPRequestHandler):
                     from shm_tpu.monitor import DriftMonitor
 
                     cls.metrics.drift = DriftMonitor(rate)
+                if cls.shadow is not None:
+                    # agreement-vs-swapped-primary is a new comparison; items
+                    # already queued (bounded by the window cap) still carry
+                    # old-primary outputs — a bounded, documented smear
+                    cls.shadow.reset()
                 # a warmed swap proves serving is healthy: recover from a
                 # FAILED STARTUP warmup (warm_error had /score answering 500)
                 cls.warm_error = None
@@ -566,12 +594,134 @@ class _Handler(BaseHTTPRequestHandler):
         drift.reset()
         self._send_json(200, drift.snapshot())
 
+    def _handle_shadow_reset(self) -> None:
+        """Zero the shadow-comparison counters (e.g. after a /reload changed
+        the primary, or to start a fresh observation window)."""
+        self._drain_body()
+        if not self.admin:
+            self._err(403, "admin endpoints disabled (start the daemon "
+                           "with --admin)")
+            return
+        if self.shadow is None:
+            self._err(409, "no shadow scorer on this server (start the "
+                           "daemon with --shadow)")
+            return
+        self.shadow.reset()
+        self._send_json(200, self.shadow.snapshot())
+
+    def _handle_recalibrate(self) -> None:
+        """Live gate-threshold recalibration from operator-asserted HEALTHY
+        windows — the intended response to the drift monitor's LOW-side
+        alert ("the deployed healthy rate sits far from the calibrated
+        rate", BENCHMARKS.md drift drive). The body is a /score-shaped
+        window stack the operator asserts is healthy; the new threshold is
+        its ``X-Percentile`` (default: the loaded calibration's own
+        percentile — p99 for 4DOF, 4DOF/Scripts/04_vae_thresholding.py:283;
+        p95 for openLAB, Codes/05_validate_vae.py:37,253) scored through
+        the CURRENT model on the already-warmed buckets, swapped in place
+        (no recompiles), with the drift monitor re-baselined to the new
+        rate. IN-MEMORY ONLY by design: artifacts on disk are the durable
+        calibration, so ``POST /reload`` (or a restart) restores them —
+        durable recalibration is an offline threshold run + /reload."""
+        if not self.admin:
+            self._err(403, "admin endpoints disabled (start the daemon "
+                           "with --admin)")
+            return
+        if self.warm_error is not None:
+            self._err(500, f"warmup failed: {self.warm_error}")
+            return
+        if not self.ready:
+            self._err(503, "still warming up")
+            return
+        scorer = self.engine[0]
+        if not hasattr(scorer, "set_threshold"):
+            self._err(501, "this scorer's threshold is baked into its "
+                           "compiled program (exported .shmx) — recalibrate "
+                           "offline and re-export")
+            return
+        pct_hdr = self.headers.get("X-Percentile")
+        if pct_hdr is not None:
+            try:
+                pct = float(pct_hdr)
+                if not 0.0 < pct < 100.0:
+                    raise ValueError
+            except (TypeError, ValueError):
+                self._err(400, "X-Percentile must be a float in (0, 100)")
+                return
+        else:
+            pct = getattr(scorer, "calibration_percentile", None)
+            if pct is None:
+                self._err(400, "the loaded artifacts record no calibration "
+                               "percentile — pass an X-Percentile header")
+                return
+        rank = int(getattr(scorer, "request_rank", 3))
+        T, D = scorer.seq_len, int(scorer.num_features)
+        want = (T, D) + ((2,) if rank == 4 else ())
+        W = self._read_array(rank, "windows",
+                             "N,T,C,2" if rank == 4 else "N,T,D")
+        if W is None:
+            return
+        if W.shape[0] < 50:
+            # a percentile needs a sample; the reference's own minimum-
+            # normals guards are 200 train / 50 val (Codes/02_make_splits
+            # .py:66-71, Codes/04_train_vae.py:213-214)
+            self._err(422, f"recalibration needs >= 50 healthy windows for "
+                           f"a meaningful percentile; got {int(W.shape[0])}")
+            return
+        if any(g != e for g, e in zip(W.shape[1:], want)):
+            self._err(422, f"scorer serves (N, {', '.join(map(str, want))}) "
+                           f"requests; got {tuple(W.shape)}")
+            return
+        try:
+            # one lock for handler-thread device dispatch (same policy as
+            # /score_series): in --concurrent mode the batcher's dispatcher
+            # owns /score traffic, and this call must not interleave with
+            # another handler thread's dispatch
+            with self.series_lock:
+                out = scorer.score(W)
+        except Exception as e:                    # pragma: no cover - defense
+            self._err(500, f"scoring failed: {e}")
+            return
+        from shm_tpu.calibrate import percentile_threshold, summarize_scores
+
+        mse = np.asarray(out["mse"])
+        old = float(np.asarray(scorer.threshold))
+        new = percentile_threshold(mse, pct)
+        scorer.set_threshold(new)
+        scorer.calibration_percentile = float(pct)
+        rate = 1.0 - pct / 100.0
+        scorer.expected_anomaly_rate = rate
+        cls = type(self)
+        eff = (cls.explicit_rate if cls.explicit_rate is not None else rate)
+        from shm_tpu.monitor import DriftMonitor
+
+        cls.metrics.drift = DriftMonitor(eff)     # fresh baseline
+        if self.shadow is not None:
+            self.shadow.reset()                   # primary decisions changed
+        self._send_json(200, {
+            "old_threshold": old,
+            "threshold": float(new),
+            "percentile": float(pct),
+            "n_windows": int(W.shape[0]),
+            "expected_anomaly_rate": rate,
+            "score_summary": summarize_scores(mse),
+            "persisted": False,
+            "note": "in-memory only; POST /reload (or a restart) restores "
+                    "the on-disk calibration",
+        })
+
     def _handle_post(self):
         if self.path == "/reload":
             self._handle_reload()
             return
         if self.path == "/drift/reset":
             self._handle_drift_reset()
+            return
+        if self.path == "/shadow/reset":
+            self._handle_shadow_reset()
+            return
+        if self.path == "/recalibrate":
+            self._handle_recalibrate()
             return
         if self.path not in ("/score", "/score_series"):
             self._err(404, f"unknown path {self.path!r}")
@@ -625,6 +775,8 @@ class _Handler(BaseHTTPRequestHandler):
                 self._err(500, f"scoring failed: {e}")
                 return
             self._respond_scores(out, len(out["mse"]))
+            if self.shadow is not None:           # after the response: the
+                self.shadow.submit_series(x, stride, out)   # client never waits
             return
 
         # expected trailing dims, derived once from the scorer surface
@@ -646,6 +798,8 @@ class _Handler(BaseHTTPRequestHandler):
             self._err(500, f"scoring failed: {e}")
             return
         self._respond_scores(out, int(W.shape[0]))
+        if self.shadow is not None:               # non-blocking enqueue
+            self.shadow.submit_windows(W, out)
 
 
 def make_server(scorer, host: str = "127.0.0.1", port: int = 8787,
@@ -653,8 +807,20 @@ def make_server(scorer, host: str = "127.0.0.1", port: int = 8787,
                 concurrent: bool = False, batch_window_ms: float = 2.0,
                 quiet: bool = True,
                 expected_rate: Optional[float] = None,
-                admin: bool = False, reload_fn=None) -> HTTPServer:
+                admin: bool = False, reload_fn=None,
+                shadow_scorer=None,
+                shadow_max_pending_windows: int = 8192) -> HTTPServer:
     """Build an HTTP server bound to ``scorer``; warm it in the background.
+
+    ``shadow_scorer``: a CANDIDATE scorer (same seq_len/num_features/
+    request rank — validated here) that re-scores every served request
+    asynchronously via :class:`shm_tpu.serve_shadow.ShadowEngine`; its
+    agreement stats ride ``/metrics`` as ``shm_shadow_*``. It warms AFTER
+    the primary (readiness never waits on the candidate; traffic during its
+    compile window is dropped from the comparison and counted). Exposed as
+    ``srv.shadow`` — call ``srv.shadow.close()`` after ``shutdown()``. A
+    successful ``/reload`` (which swaps the PRIMARY only) resets the
+    comparison counters.
 
     ``admin=True`` enables the mutating endpoints: ``POST /reload`` (hot
     artifact reload — ``reload_fn()`` builds a NEW scorer from disk, it is
@@ -697,6 +863,14 @@ def make_server(scorer, host: str = "127.0.0.1", port: int = 8787,
         batcher = DynamicBatcher(scorer, max_delay_ms=batch_window_ms)
         score_fn = batcher.score
         server_cls = ThreadingHTTPServer
+    shadow = None
+    if shadow_scorer is not None:
+        from shm_tpu.serve_shadow import ShadowEngine, check_compatible
+
+        check_compatible(scorer, shadow_scorer)   # before the worker spawns
+        shadow = ShadowEngine(
+            shadow_scorer, max_pending_windows=shadow_max_pending_windows,
+            series_strides=series_strides)
     explicit_rate = expected_rate
     if expected_rate is None:
         # scorers loaded from_artifacts carry the calibrated healthy rate
@@ -715,9 +889,11 @@ def make_server(scorer, host: str = "127.0.0.1", port: int = 8787,
                                      "error": None},
                     "explicit_rate": explicit_rate,
                     "batch_window_ms": float(batch_window_ms),
-                    "warm_on_reload": bool(warmup)})
+                    "warm_on_reload": bool(warmup),
+                    "shadow": shadow})
     srv = server_cls((host, port), handler)
     srv.batcher = batcher
+    srv.shadow = shadow
     srv.metrics = handler.metrics
     srv.warm_event = threading.Event()
     if warmup:
@@ -733,11 +909,15 @@ def make_server(scorer, host: str = "127.0.0.1", port: int = 8787,
             finally:
                 srv.warm_event.set()          # waiters wake either way;
                                               # check handler.warm_error
+            if shadow is not None:
+                shadow.warm()                 # after readiness; never raises
 
         threading.Thread(target=_warm, name="scorer-warmup",
                          daemon=True).start()
     else:
         srv.warm_event.set()
+        if shadow is not None:
+            shadow.mark_warmed()              # caller opted into inline compiles
     return srv
 
 
@@ -790,6 +970,17 @@ def _parse_args(argv):
                     "monitor baselines against (default: from the loaded "
                     "threshold manifest; pass to override or to enable "
                     "drift on artifacts that predate the field)")
+    ap.add_argument("--shadow", default=None, metavar="PATH",
+                    help="shadow (canary) scorer: an artifact root — or a "
+                         ".shmx export — whose model re-scores every served "
+                         "request ASYNCHRONOUSLY; responses always come from "
+                         "the primary, and gate/prediction agreement "
+                         "accumulates as shm_shadow_* on /metrics. Must "
+                         "serve the same (T, D) request surface")
+    ap.add_argument("--shadow-queue-windows", type=int, default=8192,
+                    help="max windows queued for the shadow before new work "
+                         "is dropped (never blocks live traffic; default "
+                         "8192)")
     ap.add_argument("--admin", action="store_true",
                     help="enable the mutating admin endpoints: POST /reload "
                          "(hot artifact reload: warm-then-swap, zero "
@@ -800,6 +991,8 @@ def _parse_args(argv):
 
     if args.openlab is not None and args.shmx is not None:
         ap.error("--openlab and --shmx are mutually exclusive")
+    if args.shadow_queue_windows < 1:
+        ap.error("--shadow-queue-windows must be >= 1")
     if (args.expected_anomaly_rate is not None
             and not 0.0 < args.expected_anomaly_rate < 1.0):
         ap.error("--expected-anomaly-rate must be in (0, 1)")
@@ -863,9 +1056,36 @@ def _load_scorer(args):
     return scorer
 
 
+def _load_shadow_scorer(args):
+    """Build the candidate scorer ``--shadow PATH`` names: a ``.shmx``
+    export by suffix, else an artifact root of the primary's stage (an
+    openLAB root under ``--openlab``, a 4DOF root otherwise). Single-device
+    — shadow traffic is a statistics sample, not the serving path."""
+    path = args.shadow
+    kw = dict(min_bucket=args.min_bucket or 256,
+              max_batch=args.max_batch or 8192)
+    if str(path).endswith(".shmx"):
+        from shm_tpu.export import load_exported_scorer
+
+        sc = load_exported_scorer(path, **kw)
+    elif args.openlab is not None:
+        from shm_tpu.serve_openlab import OpenLabScorer
+
+        sc = OpenLabScorer.from_artifacts(path, **kw)
+    else:
+        from shm_tpu.serve import HybridScorer
+
+        sc = HybridScorer.from_artifacts(path, **kw)
+    print(f"[serve] shadow candidate loaded from {path}; agreement stats "
+          f"on /metrics (shm_shadow_*)")
+    return sc
+
+
 def main(argv=None) -> None:
     args, strides = _parse_args(argv)
     scorer = _load_scorer(args)
+    shadow_scorer = (None if args.shadow is None
+                     else _load_shadow_scorer(args))
     srv = make_server(scorer, args.host, args.port,
                       warmup=not args.no_warmup,
                       series_strides=strides, concurrent=args.concurrent,
@@ -873,7 +1093,9 @@ def main(argv=None) -> None:
                       quiet=not args.verbose,
                       expected_rate=args.expected_anomaly_rate,
                       admin=args.admin,
-                      reload_fn=(lambda: _load_scorer(args)))
+                      reload_fn=(lambda: _load_scorer(args)),
+                      shadow_scorer=shadow_scorer,
+                      shadow_max_pending_windows=args.shadow_queue_windows)
     if srv.metrics.drift is not None:
         print(f"[serve] drift monitor on: expected anomaly rate "
               f"{srv.metrics.drift.expected_rate:.4g} (/metrics)")
@@ -897,6 +1119,8 @@ def main(argv=None) -> None:
     finally:
         if srv.batcher is not None:
             srv.batcher.close()
+        if srv.shadow is not None:
+            srv.shadow.close()
 
 
 __all__ = ["ServerMetrics", "make_server", "main"]

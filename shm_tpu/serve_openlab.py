@@ -96,6 +96,9 @@ class OpenLabScorer:
     # calibrated healthy anomaly rate (set by from_artifacts from the
     # threshold manifest); serve_http's DriftMonitor baselines against it
     expected_anomaly_rate: Optional[float] = None
+    # percentile the loaded threshold was calibrated at (manifest
+    # "percentile"); default for serve_http's POST /recalibrate
+    calibration_percentile: Optional[float] = None
 
     def __init__(self, vae_model, vae_params, gate_mu, gate_sd, ch_idx,
                  clip_z: float, vae_threshold: float, *,
@@ -323,7 +326,15 @@ class OpenLabScorer:
 
         scorer.expected_anomaly_rate = expected_rate_from_threshold_meta(
             thr_meta)
+        pct = thr_meta.get("percentile")
+        scorer.calibration_percentile = None if pct is None else float(pct)
         return scorer
+
+    def set_threshold(self, threshold: float) -> None:
+        """Swap the gate threshold in place (live recalibration): here it is
+        a host float that ``_dispatch`` wraps per call, so the swap is a
+        plain attribute write — no recompiles."""
+        self.threshold = float(threshold)
 
     @staticmethod
     def _make_ml_predict(name: str, mdl, host_ml: bool):

@@ -694,3 +694,126 @@ def test_admin_reload_recovers_from_failed_startup_warmup():
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+# ----------------------------------------------------------------------
+# admin surface: live threshold recalibration
+
+
+def test_admin_recalibrate_swaps_threshold_live():
+    """POST /recalibrate re-thresholds the gate from operator-supplied
+    healthy windows at the requested percentile, swaps it in place (no
+    recompiles — the threshold rides dispatch as an argument), re-baselines
+    the drift monitor, and is in-memory only."""
+    T, D = 20, 4
+    sc = _mini_scorer(T, D, threshold=1e-6, rate=0.01)
+    srv = make_server(sc, port=0, admin=True)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    assert srv.warm_event.wait(timeout=300)
+    try:
+        W = np.random.default_rng(3).normal(size=(64, T, D)).astype(np.float32)
+        ref = sc.score(W)
+        hdr = {"Content-Type": "application/octet-stream",
+               "X-Shape": f"64,{T},{D}"}
+        # hand-constructed scorer records no calibration percentile -> the
+        # operator must say which percentile they want
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _req(base + "/recalibrate", data=W.tobytes(), headers=hdr,
+                 method="POST")
+        assert ei.value.code == 400
+        assert "X-Percentile" in json.loads(ei.value.read())["error"]
+
+        code, _, body = _req(base + "/recalibrate", data=W.tobytes(),
+                             headers={**hdr, "X-Percentile": "90"},
+                             method="POST")
+        assert code == 200
+        resp = json.loads(body)
+        want_thr = float(np.percentile(ref["mse"], 90.0))
+        assert resp["old_threshold"] == pytest.approx(1e-6)
+        assert resp["threshold"] == pytest.approx(want_thr, rel=1e-6)
+        assert resp["n_windows"] == 64 and resp["persisted"] is False
+        assert resp["expected_anomaly_rate"] == pytest.approx(0.1)
+        assert resp["score_summary"]["n"] == 64.0
+
+        # the swap is live: /info reports it and decisions follow it
+        _, _, body = _req(base + "/info")
+        assert json.loads(body)["threshold"] == pytest.approx(want_thr,
+                                                              rel=1e-6)
+        _, _, body = _req(base + "/score", data=W.tobytes(), headers=hdr,
+                          method="POST")
+        got = json.loads(body)
+        want_anom = (np.asarray(ref["mse"]) > want_thr).tolist()
+        assert got["anomalous"] == want_anom
+        assert 0 < sum(got["anomalous"]) < 64      # ~10% by construction
+
+        # drift re-baselined to the new calibration rate; only post-
+        # recalibration traffic counted
+        _, _, body = _req(base + "/metrics",
+                          headers={"Accept": "application/json"})
+        d = json.loads(body)["drift"]
+        assert d["expected_rate"] == pytest.approx(0.1)
+        assert d["windows"] == 64
+
+        # guards: sample too small (422), bad percentile (400)
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _req(base + "/recalibrate", data=W[:8].tobytes(),
+                 headers={"Content-Type": "application/octet-stream",
+                          "X-Shape": f"8,{T},{D}", "X-Percentile": "90"},
+                 method="POST")
+        assert ei.value.code == 422
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _req(base + "/recalibrate", data=W.tobytes(),
+                 headers={**hdr, "X-Percentile": "150"}, method="POST")
+        assert ei.value.code == 400
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_recalibrate_refused_without_admin_and_for_baked_thresholds():
+    """403 without --admin; 501 when the scorer has no set_threshold (the
+    exported-.shmx case: the threshold is baked into the program)."""
+    T, D = 20, 4
+    srv = make_server(_mini_scorer(T, D, threshold=1.0), port=0, warmup=False)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _req(base + "/recalibrate", data=b"", method="POST")
+        assert ei.value.code == 403
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+    class BakedScorer:                 # ExportedScorer-shaped: no set_threshold
+        mean = np.zeros(D, np.float32)
+        threshold = np.float32(1.0)
+        min_bucket, max_batch, seq_len = 16, 32, T
+        num_features = D
+        use_fused_vae = False
+        mesh = None
+        exported = True
+
+        def buckets(self):
+            return [16, 32]
+
+        def warmup(self):
+            pass
+
+        def warmup_series(self, stride=1, batch_sizes=None):
+            pass
+
+    srv2 = make_server(BakedScorer(), port=0, admin=True, warmup=False)
+    t = threading.Thread(target=srv2.serve_forever, daemon=True)
+    t.start()
+    b2 = f"http://127.0.0.1:{srv2.server_address[1]}"
+    try:
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _req(b2 + "/recalibrate", data=b"", method="POST")
+        assert ei.value.code == 501
+    finally:
+        srv2.shutdown()
+        srv2.server_close()
