@@ -306,8 +306,13 @@ def test_http_reload_resets_shadow_comparison(shadow_server):
     _req(base + "/score", data=W.tobytes(),
          headers={"Content-Type": "application/octet-stream",
                   "X-Shape": f"4,{T},{D}"}, method="POST")
-    _wait(_drained(srv.shadow), msg="pre-reload drain")
-    assert srv.shadow.snapshot()["windows"] >= 4
+    # wait on compared WINDOWS, not on queue drain: the handler enqueues the
+    # shadow comparison AFTER writing the response (the client never waits),
+    # so right after _req returns the queue can still be empty-because-
+    # not-yet-submitted — a drained check races (observed flaky under suite
+    # load, round 3)
+    _wait(lambda: srv.shadow.snapshot()["windows"] >= 4,
+          msg="pre-reload shadow compare")
     code, _ = _req(base + "/reload", data=b"", method="POST")
     assert code == 202
     for _ in range(200):
