@@ -788,14 +788,16 @@ def main(argv=None) -> None:
                          "both serve on-device in test-hybrid")
     ap.add_argument("--devices", type=int, default=None,
                     help="data-parallel training over the first N local devices")
-    ap.add_argument("--cell", choices=["lstm", "min_gru"], default="lstm",
-                    help="VAE recurrence family for train-vae (recorded in "
-                         "the manifest; downstream commands auto-detect it). "
-                         "min_gru is the opt-in parallel-scan cell — NOT the "
+    ap.add_argument("--cell", choices=["lstm", "min_gru", "attention"],
+                    default="lstm",
+                    help="VAE temporal-stack family for train-vae (recorded "
+                         "in the manifest; downstream commands auto-detect "
+                         "it). min_gru (parallel-scan cell) and attention "
+                         "(transformer stack) are opt-in — NOT the "
                          "reference-parity model, and on THIS stage's real "
-                         "bridge data its gate measured weaker (struct TPR "
-                         "0.773 vs 0.858 at matched FPR; BENCHMARKS.md) — "
-                         "validate before deploying")
+                         "bridge data the min_gru gate measured weaker "
+                         "(struct TPR 0.773 vs 0.858 at matched FPR; "
+                         "BENCHMARKS.md) — validate before deploying")
     args = ap.parse_args(argv)
 
     raw_dir = args.raw_dir or default_openlab_raw_dir()

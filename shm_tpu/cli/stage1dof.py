@@ -326,10 +326,12 @@ def main(argv=None) -> None:
     ap.add_argument("--no-plots", action="store_true")
     ap.add_argument("--devices", type=int, default=None,
                     help="data-parallel training over the first N local devices")
-    ap.add_argument("--cell", choices=["lstm", "min_gru"], default="lstm",
-                    help="VAE recurrence family for train-vae (recorded in "
-                         "split.json; the eval commands auto-detect it). "
-                         "min_gru is the opt-in parallel-scan cell — NOT the "
+    ap.add_argument("--cell", choices=["lstm", "min_gru", "attention"],
+                    default="lstm",
+                    help="VAE temporal-stack family for train-vae (recorded "
+                         "in split.json; the eval commands auto-detect it). "
+                         "min_gru (parallel-scan cell) and attention "
+                         "(transformer stack) are opt-in — NOT the "
                          "reference-parity model; see BENCHMARKS.md")
     args = ap.parse_args(argv)
 

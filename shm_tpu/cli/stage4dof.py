@@ -655,12 +655,15 @@ def main(argv=None) -> None:
                          "devices (1-D mesh, batch sharded, grads psum'd; "
                          "trajectory matches single-device to reduction-order "
                          "tolerance)")
-    ap.add_argument("--cell", choices=["lstm", "min_gru"], default="lstm",
-                    help="VAE recurrence family for train-vae (recorded in "
-                         "the training meta; threshold/test-pipeline/serving "
-                         "auto-detect it from there). min_gru is the opt-in "
-                         "parallel-scan cell (models/minrnn.py) — faster on "
-                         "TPU, NOT the reference-parity model; BENCHMARKS.md")
+    ap.add_argument("--cell", choices=["lstm", "min_gru", "attention"],
+                    default="lstm",
+                    help="VAE temporal-stack family for train-vae (recorded "
+                         "in the training meta; threshold/test-pipeline/"
+                         "serving auto-detect it from there). min_gru "
+                         "(parallel-scan cell, models/minrnn.py) and "
+                         "attention (transformer stack, models/attention.py) "
+                         "are opt-in throughput presets — faster on TPU, NOT "
+                         "the reference-parity model; BENCHMARKS.md")
     args = ap.parse_args(argv)
 
     cfg = Stage4DofConfig()

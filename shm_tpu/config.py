@@ -37,8 +37,10 @@ class VAEConfig:
     num_layers: int = 2
     dropout: float = 0.3
     use_layernorm: bool = True
-    # recurrence family: "lstm" (reference parity, default) or "min_gru"
-    # (opt-in parallel-scan cell, shm_tpu.models.minrnn — NOT a parity model)
+    # temporal-stack family: "lstm" (reference parity, default), "min_gru"
+    # (opt-in parallel-scan cell, shm_tpu.models.minrnn) or "attention"
+    # (opt-in recurrence-free transformer stack, shm_tpu.models.attention) —
+    # the non-lstm families are NOT parity models
     cell: str = "lstm"
 
 

@@ -39,10 +39,12 @@ def torch_linear_init(fan_in: int):
 
 
 class TemporalVAE(nn.Module):
-    """``cell``: the recurrence family. ``"lstm"`` (default) is the
+    """``cell``: the temporal-stack family. ``"lstm"`` (default) is the
     reference-parity sequential LSTM; ``"min_gru"`` is the opt-in
-    parallel-scan cell (:mod:`shm_tpu.models.minrnn`) — same VAE topology,
-    different (non-parity) recurrence, chosen for TPU throughput."""
+    parallel-scan cell (:mod:`shm_tpu.models.minrnn`); ``"attention"`` is
+    the opt-in recurrence-free transformer stack
+    (:mod:`shm_tpu.models.attention`) — same VAE topology, different
+    (non-parity) temporal stacks, chosen for TPU throughput."""
 
     input_dim: int = 12
     latent_dim: int = 16
@@ -67,9 +69,14 @@ class TemporalVAE(nn.Module):
             def Stack(H, L, drop, dt, name):
                 return MinGRUStack(H, L, drop, dt, scan_impl=self.scan_impl,
                                    name=name)
+        elif self.cell == "attention":
+            from shm_tpu.models.attention import AttentionStack
+
+            def Stack(H, L, drop, dt, name):
+                return AttentionStack(H, L, drop, dt, name=name)
         else:
             raise ValueError(f"unknown cell {self.cell!r} "
-                             "(expected 'lstm' or 'min_gru')")
+                             "(expected 'lstm', 'min_gru' or 'attention')")
         self.encoder = Stack(H, self.num_layers, self.dropout, self.dtype,
                              name="encoder_lstm")
         if self.use_layernorm:

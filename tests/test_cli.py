@@ -63,10 +63,12 @@ def test_stage1dof_train_vae_devices_flag_matches_single(tmp_path):
                                    rtol=1e-5, err_msg=col)
 
 
-def test_stage1dof_chain_mingru_cell(tmp_path):
-    """`--cell min_gru` trains stage 1 end-to-end; the eval commands
-    auto-detect the cell from split.json (no --cell needed downstream) —
-    restoring with the wrong cell would fail (param trees differ)."""
+@pytest.mark.parametrize("cell", ["min_gru", "attention"])
+def test_stage1dof_chain_nonparity_cell(tmp_path, cell):
+    """`--cell min_gru`/`--cell attention` train stage 1 end-to-end; the eval
+    commands auto-detect the cell from split.json (no --cell needed
+    downstream) — restoring with the wrong cell would fail (param trees
+    differ)."""
     import pandas as pd
     from shm_tpu.cli import stage1dof
 
@@ -75,10 +77,10 @@ def test_stage1dof_chain_mingru_cell(tmp_path):
     # (no gen-unseen: only the seen-side artifacts are exercised below, and
     # the unseen simulation would be dead setup cost in the default suite)
     stage1dof.main(["train-vae", "--root", root, "--epochs", "1", "--no-plots",
-                    "--cell", "min_gru"])
+                    "--cell", cell])
     split = json.loads((tmp_path / "1dof" / "processed"
                         / "split.json").read_text())
-    assert split["cell"] == "min_gru"
+    assert split["cell"] == cell
     # NOTE: no --cell here — auto-detected
     stage1dof.main(["test-seen", "--root", root, "--no-plots"])
     r = pd.read_csv(tmp_path / "1dof" / "tables" / "reconstruction_seen"
