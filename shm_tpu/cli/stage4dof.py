@@ -659,11 +659,13 @@ def main(argv=None) -> None:
                     default="lstm",
                     help="VAE temporal-stack family for train-vae (recorded "
                          "in the training meta; threshold/test-pipeline/"
-                         "serving auto-detect it from there). min_gru "
-                         "(parallel-scan cell, models/minrnn.py) and "
-                         "attention (transformer stack, models/attention.py) "
-                         "are opt-in throughput presets — faster on TPU, NOT "
-                         "the reference-parity model; BENCHMARKS.md")
+                         "serving auto-detect it from there). Opt-in, NOT "
+                         "the reference-parity model: min_gru (parallel-scan "
+                         "cell, models/minrnn.py) is the measured throughput "
+                         "lever; attention (transformer stack, "
+                         "models/attention.py) is a quality-parity family "
+                         "that scores SLOWER (bandwidth-bound XLA path); "
+                         "BENCHMARKS.md")
     args = ap.parse_args(argv)
 
     cfg = Stage4DofConfig()

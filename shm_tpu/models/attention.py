@@ -7,15 +7,26 @@ fused LSTM kernel is VPU-transcendental-bound (~22% MFU — 5 sigmoid/tanh
 per cell-step), and the minGRU preset's remaining cost is its sequential
 T-loop + VMEM I/O. A transformer encoder removes the time recurrence
 entirely: every op is a batched matmul (QKV/output projections, the
-[T, T] attention contraction, the MLP) that tiles straight onto the MXU,
-with nothing sequential in T at all — the shape of model the hardware was
-built for, and the natural end point of the "beyond the LSTM floor" study.
+[T, T] attention contraction, the MLP), with nothing sequential in T.
+
+**Measured verdict (tools/probe_attention.py, real chip, BENCHMARKS.md
+round 3): a QUALITY family, NOT a throughput lever at these shapes.** The
+4DOF recipe trains to the best 3-class accuracy of the three families
+(0.9948 vs LSTM 0.99367 / minGRU 0.99395), but the XLA lowering runs
+~5x SLOWER than the fused LSTM kernel (98k vs 476k win/s device-side
+gate-only): at B·T ~ 2M tokens every inter-op [B, T, H] activation is
+~0.5 GB, so the un-fused op chain is HBM-bandwidth-bound — ~2.2x the
+LSTM's FLOPs at <9% MFU. A VMEM-resident Pallas transformer kernel could
+close some of that, but its per-head [T, 32] x [32, T] contractions
+underfill the MXU the same way the attribution transposed-layout probe
+did (measured negative, BENCHMARKS.md), bounding the ceiling near the
+recurrent kernels' — not worth the complexity for an opt-in preset.
 
 This is NOT a parity cell — it changes the model family, so it ships as an
 opt-in preset (``VAEConfig(cell="attention")``, CLI ``--cell attention``);
 the default everywhere remains the reference-parity LSTM, exactly like the
-``min_gru`` preset (models/minrnn.py). Quality under the driven recipes is
-measured in BENCHMARKS.md; like minGRU, it must be validated per deployment.
+``min_gru`` preset (models/minrnn.py). Like minGRU, it must be validated
+per deployment.
 
 Design notes:
 
@@ -32,10 +43,9 @@ Design notes:
   4DOF/Scripts/Models/temporal_vae.py:67-68): the projected ``h0`` token is
   broadcast and the positional encoding differentiates the steps — the
   attention analogue of "learned queries + one context vector".
-- No Pallas kernel and none planned: the XLA lowering of dense attention at
-  these shapes is already MXU-shaped (measured in BENCHMARKS.md); the fused
-  kernels exist to rescue RECURRENT cells whose per-step ops XLA cannot
-  batch over T.
+- No Pallas kernel: see the measured verdict above — the preset's value is
+  quality/architectural diversity, and a kernel big enough to fix the
+  bandwidth bound would not clear the recurrent kernels' throughput anyway.
 """
 
 from __future__ import annotations

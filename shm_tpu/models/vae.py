@@ -41,10 +41,11 @@ def torch_linear_init(fan_in: int):
 class TemporalVAE(nn.Module):
     """``cell``: the temporal-stack family. ``"lstm"`` (default) is the
     reference-parity sequential LSTM; ``"min_gru"`` is the opt-in
-    parallel-scan cell (:mod:`shm_tpu.models.minrnn`); ``"attention"`` is
-    the opt-in recurrence-free transformer stack
-    (:mod:`shm_tpu.models.attention`) — same VAE topology, different
-    (non-parity) temporal stacks, chosen for TPU throughput."""
+    parallel-scan cell (:mod:`shm_tpu.models.minrnn`, the measured TPU
+    throughput lever); ``"attention"`` is the opt-in recurrence-free
+    transformer stack (:mod:`shm_tpu.models.attention`, a quality-parity
+    family that scores slower — see its module docstring) — same VAE
+    topology, different (non-parity) temporal stacks."""
 
     input_dim: int = 12
     latent_dim: int = 16

@@ -1,14 +1,17 @@
-"""Drive: HybridScorer serving on the minGRU artifacts, real chip.
+"""Drive: HybridScorer serving on an opt-in preset's artifacts, real chip.
 
-Verifies the opt-in cell end-to-end through the SERVING surface (artifact
-auto-detection -> fused minGRU Pallas kernel -> bucket batching), on real
-windows from the shared 4DOF raw tree, and times warmed request latency.
+Verifies a non-default cell end-to-end through the SERVING surface (artifact
+auto-detection -> fused kernel where one exists, XLA path otherwise ->
+bucket batching), on real windows from the shared 4DOF raw tree, and times
+warmed request latency.
 
-Run: PYTHONPATH=/root/repo:/root/.axon_site python tools/drive_serve_mingru.py
+Run: PYTHONPATH=/root/repo:/root/.axon_site python tools/drive_serve_preset.py \
+        [--root data/4dof_mingru | data/4dof_attention]
 """
 
 from __future__ import annotations
 
+import argparse
 import time
 
 import numpy as np
@@ -20,7 +23,12 @@ def main() -> None:
     from shm_tpu.serve import HybridScorer
     from shm_tpu.utils.io import load_json
 
-    scorer = HybridScorer.from_artifacts("data/4dof_mingru",
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--root", default="data/4dof_mingru",
+                    help="artifact root of the preset to serve")
+    args = ap.parse_args()
+
+    scorer = HybridScorer.from_artifacts(args.root,
                                          min_bucket=2048, max_batch=4096)
     print(f"fused={scorer.use_fused_vae} seq_len={scorer.seq_len} "
           f"threshold={float(scorer.threshold):.4f}", flush=True)

@@ -9,6 +9,14 @@ tiles straight onto the MXU, with no fused kernel needed: this probe
 measures whether the plain XLA lowering already clears the recurrent
 families' ceilings.
 
+MEASURED ANSWER (real chip, 2026-08-19): NO — decisively. Device-side 4x
+gate-only 98k (bf16) / 66k (f32) win/s vs the LSTM kernel's 476k; hybrid
+96k vs 406k. At B*T ~ 2M tokens every inter-op [B, T, H] activation is
+~0.5 GB, so the un-fused op chain is HBM-bandwidth-bound (~2.2x the LSTM
+FLOPs at <9% MFU). The preset's value is QUALITY (best 4DOF accuracy of
+the three families, 0.9948) and architectural diversity, not throughput;
+full discussion in BENCHMARKS.md and models/attention.py.
+
 Measures, same-process, on the 4DOF gate shapes (T=100, D=12, H=128,
 2 layers, 4 heads):
 
