@@ -29,15 +29,23 @@ def _req(base, path, data=None, headers=None, method=None):
 
 
 def main() -> None:
+    import argparse
+
     from shm_tpu.cli.stage4dof import Paths, build_fraction_windows
     from shm_tpu.config import Stage4DofConfig
     from shm_tpu.serve import HybridScorer
     from shm_tpu.serve_http import make_server
     from shm_tpu.utils.io import load_json
 
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--shadow-root", default="data/4dof_mingru",
+                    help="artifact root of the CANDIDATE scorer "
+                         "(e.g. data/4dof_attention)")
+    args = ap.parse_args()
+
     primary = HybridScorer.from_artifacts("data/4dof",
                                           min_bucket=2048, max_batch=4096)
-    shadow = HybridScorer.from_artifacts("data/4dof_mingru",
+    shadow = HybridScorer.from_artifacts(args.shadow_root,
                                          min_bucket=2048, max_batch=4096)
     print(f"primary thr={float(np.asarray(primary.threshold)):.4f} "
           f"(cell=lstm)  shadow thr={float(np.asarray(shadow.threshold)):.4f} "
