@@ -226,3 +226,30 @@ def test_export_mingru_trained_artifacts(tmp_path):
     np.testing.assert_array_equal(got["y_pred"], ref["y_pred"])
     np.testing.assert_allclose(got["mse"], ref["mse"],
                                atol=1e-5, rtol=1e-5)
+
+
+def test_export_attention_trained_artifacts(tmp_path):
+    """The third cell family exports too: round-trip the committed trained
+    attention 4DOF artifacts (from_artifacts auto-detects the family from
+    the training meta) and pin decision agreement with the in-process
+    scorer on synthetic windows."""
+    root = Path("data/4dof_attention")
+    if not (root / "models" / "temporal_vae.msgpack").exists():
+        pytest.skip("trained attention artifacts not present")
+    scorer = HybridScorer.from_artifacts(
+        root, use_fused_vae=False, cnn_dtype=jnp.float32,
+        min_bucket=4, max_batch=8)
+    assert getattr(scorer.vae_model, "cell", "lstm") == "attention"
+    blob_path = tmp_path / "attention.shmx"
+    save_exported_scorer(scorer, blob_path, platforms=("cpu",))
+    loaded = load_exported_scorer(blob_path)
+    assert loaded.manifest["cell"] == "attention"
+    W = np.asarray(
+        0.1 * jax.random.normal(jax.random.PRNGKey(7), (5, 100, 12)),
+        np.float32)
+    got = loaded.score(W)
+    ref = scorer.score(W)
+    np.testing.assert_array_equal(got["anomalous"], ref["anomalous"])
+    np.testing.assert_array_equal(got["y_pred"], ref["y_pred"])
+    np.testing.assert_allclose(got["mse"], ref["mse"],
+                               atol=1e-5, rtol=1e-5)
