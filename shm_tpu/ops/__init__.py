@@ -5,6 +5,10 @@ from shm_tpu.ops.fused_mingru import (
     fused_mingru_gate,
     mingru_params_to_kernel_weights,
 )
+from shm_tpu.ops.fused_attention import (
+    fused_attention_gate,
+    attention_params_to_kernel_weights,
+)
 from shm_tpu.ops.lstm_train import (
     lstm2_enc_last,
     lstm2_dec_head,
@@ -35,6 +39,8 @@ __all__ = [
     "vae_params_to_kernel_weights",
     "fused_mingru_gate",
     "mingru_params_to_kernel_weights",
+    "fused_attention_gate",
+    "attention_params_to_kernel_weights",
     "lstm2_enc_last",
     "lstm2_dec_head",
     "lstm2_scan_reference",

@@ -75,7 +75,7 @@ def make_hybrid_fn(vae_model, cnn_model, *, sample: bool = False,
     if use_fused_vae and sample:
         raise ValueError("fused VAE kernel is deterministic (sample=False only)")
     cell = getattr(vae_model, "cell", "lstm")
-    if use_fused_vae and cell not in ("lstm", "min_gru"):
+    if use_fused_vae and cell not in ("lstm", "min_gru", "attention"):
         raise ValueError(f"no fused kernel for cell={cell!r}")
     if fused_layout == "transposed" and cell != "lstm":
         raise ValueError("fused_layout='transposed' is LSTM-kernel only")
@@ -110,7 +110,22 @@ def make_hybrid_fn(vae_model, cnn_model, *, sample: bool = False,
                 cnn_variables, Zt, resid_t, d_real=D,
                 dtype=fused_dtype or jnp.bfloat16)[:N]
         elif use_fused_vae:
-            if cell == "min_gru":
+            if cell == "attention":
+                from shm_tpu.ops import fused_attention_gate
+
+                # per-window rows are Tp-padded in VMEM, so the attention
+                # kernel tiles windows far smaller than the recurrent ones
+                mse, resid = fused_attention_gate(
+                    vae_params, Z,
+                    num_layers=vae_model.num_layers,
+                    use_layernorm=vae_model.use_layernorm,
+                    dtype=fused_dtype or vae_model.dtype,
+                    interpret=fused_interpret,
+                    emulate=fused_interpret,
+                    batch_tile=min(fused_batch_tile, 16)
+                    if not fused_interpret else fused_batch_tile,
+                )
+            elif cell == "min_gru":
                 from shm_tpu.ops import fused_mingru_gate
 
                 mse, resid = fused_mingru_gate(

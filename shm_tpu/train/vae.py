@@ -544,8 +544,11 @@ def reconstruction_mse(
 
         fused = not sample and auto_fused_gate(model)
     if fused and not sample:
-        if getattr(model, "cell", "lstm") == "min_gru":
+        cell = getattr(model, "cell", "lstm")
+        if cell == "min_gru":
             from shm_tpu.ops import fused_mingru_gate as gate_fn
+        elif cell == "attention":
+            from shm_tpu.ops import fused_attention_gate as gate_fn
         else:
             from shm_tpu.ops import fused_vae_gate as gate_fn
 

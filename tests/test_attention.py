@@ -147,12 +147,16 @@ def test_attention_pallas_kernel_guard():
                   use_pallas_kernel=True)
 
 
-def test_attention_fused_guard_and_xla_hybrid():
+def test_attention_xla_hybrid():
     from shm_tpu.models import CNN4DOF
     from shm_tpu.pipeline import make_hybrid_fn
 
-    with pytest.raises(ValueError, match="no fused kernel"):
-        make_hybrid_fn(TemporalVAE(cell="attention"), None, use_fused_vae=True)
+    # (cell="attention" now ALSO has a fused kernel — routing + equivalence
+    # pinned in tests/test_fused_attention.py; the transposed layout stays
+    # LSTM-only)
+    with pytest.raises(ValueError, match="LSTM-kernel only"):
+        make_hybrid_fn(TemporalVAE(cell="attention"), None, use_fused_vae=True,
+                       fused_layout="transposed")
 
     # the XLA hybrid path serves the cell end-to-end
     vae = TemporalVAE(input_dim=4, latent_dim=3, hidden_dim=16, num_layers=2,
