@@ -9,18 +9,21 @@ T-loop + VMEM I/O. A transformer encoder removes the time recurrence
 entirely: every op is a batched matmul (QKV/output projections, the
 [T, T] attention contraction, the MLP), with nothing sequential in T.
 
-**Measured verdict (tools/probe_attention.py, real chip, BENCHMARKS.md
-round 3): a QUALITY family, NOT a throughput lever at these shapes.** The
-4DOF recipe trains to the best 3-class accuracy of the three families
-(0.9948 vs LSTM 0.99367 / minGRU 0.99395), but the XLA lowering runs
-~5x SLOWER than the fused LSTM kernel (98k vs 476k win/s device-side
-gate-only): at B·T ~ 2M tokens every inter-op [B, T, H] activation is
-~0.5 GB, so the un-fused op chain is HBM-bandwidth-bound — ~2.2x the
-LSTM's FLOPs at <9% MFU. A VMEM-resident Pallas transformer kernel could
-close some of that, but its per-head [T, 32] x [32, T] contractions
-underfill the MXU the same way the attribution transposed-layout probe
-did (measured negative, BENCHMARKS.md), bounding the ceiling near the
-recurrent kernels' — not worth the complexity for an opt-in preset.
+**Measured verdict (tools/probe_attention.py + probe_attention_kernel.py,
+real chip, BENCHMARKS.md round 3): a QUALITY family, NOT a throughput
+lever at these shapes.** The 4DOF recipe trains to the best 3-class
+accuracy of the three families (0.9948 vs LSTM 0.99367 / minGRU 0.99395),
+but scoring runs well below the fused LSTM kernel. The XLA lowering is
+HBM-bandwidth-bound (~5x below the LSTM kernel: at B·T ~ 2M tokens every
+inter-op [B, T, H] activation is ~0.5 GB and the un-fused op chain
+round-trips HBM at each arrow — ~2.2x the LSTM's FLOPs at <9% MFU). The
+head-packed VMEM-resident Pallas kernel (ops/fused_attention.py) recovers
++45% gate-only / +36% hybrid over that XLA path at 100% decision agreement
+on the trained artifacts — it sidesteps the feared per-head [T, 32] MXU
+underfill by packing all heads' scores into one full-K contraction — and
+is the auto-selected scoring path on TPU, but the family still scores
+~2x below the recurrent kernels (the [Tp, heads*Tp] score tensor's VMEM
+traffic is irreducible at these widths).
 
 This is NOT a parity cell — it changes the model family, so it ships as an
 opt-in preset (``VAEConfig(cell="attention")``, CLI ``--cell attention``);

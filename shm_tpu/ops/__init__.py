@@ -23,13 +23,25 @@ def is_tpu_backend() -> bool:
 
 def auto_fused_gate(model) -> bool:
     """The ONE auto-enable policy for the fused gate kernels: TPU backend and
-    a preset ``fused_vae_gate``/``fused_mingru_gate`` supports. Every surface
-    that defaults its fused flag (HybridScorer, OpenLabScorer,
-    ``reconstruction_mse(fused="auto")``) must route through this helper so a
-    policy change cannot leave one surface on the slow path."""
+    a preset ``fused_vae_gate``/``fused_mingru_gate``/``fused_attention_gate``
+    supports. Every surface that defaults its fused flag (HybridScorer,
+    OpenLabScorer, ``reconstruction_mse(fused="auto")``) must route through
+    this helper so a policy change cannot leave one surface on the slow path.
+
+    The attention kernel earned its slot on the trained 4DOF artifacts
+    (tools/probe_attention_kernel.py, real chip, same-process): 100% gate and
+    hybrid-prediction agreement vs the XLA path at the deployed threshold,
+    +45% gate-only (105k vs 72k win/s) and +36% full hybrid (96k vs 71k)."""
+    cell = getattr(model, "cell", "lstm")
+    if cell == "attention":
+        # the head-packed kernel needs head_dim-32 packing in <=128 lanes
+        # (every VAEConfig attention preset qualifies; fused_attention.py)
+        H = getattr(model, "hidden_dim", 0)
+        if H % 32 or H > 128:
+            return False
     return (is_tpu_backend()
             and getattr(model, "num_layers", 0) in (1, 2)
-            and getattr(model, "cell", "lstm") in ("lstm", "min_gru"))
+            and cell in ("lstm", "min_gru", "attention"))
 
 
 __all__ = [

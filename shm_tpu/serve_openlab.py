@@ -192,6 +192,8 @@ class OpenLabScorer:
             cell = getattr(self.vae_model, "cell", "lstm")
             if cell == "min_gru":
                 from shm_tpu.ops import fused_mingru_gate as gate_fn
+            elif cell == "attention":
+                from shm_tpu.ops import fused_attention_gate as gate_fn
             else:
                 from shm_tpu.ops import fused_vae_gate as gate_fn
             extra = dict(interpret=self.gate_interpret,

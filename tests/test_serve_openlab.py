@@ -367,6 +367,47 @@ def test_fused_gate_wiring_matches_xla(scorer, subset):
     np.testing.assert_array_equal(got_m["y_pred"], ref["y_pred"])
 
 
+def test_fused_gate_wiring_attention_cell():
+    """``auto_fused_gate`` includes ``cell="attention"`` on TPU, so the
+    openLAB scorer's ``_gate_mse`` must route that cell to
+    ``fused_attention_gate`` — NOT the LSTM kernel (the param trees differ;
+    a mis-route would crash or mis-score). Wiring certified off-chip via the
+    interpret lowering at f32 io against the XLA gate (the compiled bf16
+    kernel's numerics are certified on the chip — BENCHMARKS.md attention
+    kernel section). Synthetic tiny preset: no committed openLAB attention
+    artifacts exist (the bridge artifact tree stays LSTM)."""
+    import jax
+    import jax.numpy as jnp
+
+    from shm_tpu.models import CNNOpenLab, TemporalVAE
+
+    T, C = 16, 3
+    vae = TemporalVAE(input_dim=C, latent_dim=2, hidden_dim=32, num_layers=1,
+                      dropout=0.0, cell="attention")
+    vp = vae.init({"params": jax.random.PRNGKey(0)},
+                  jnp.zeros((2, T, C), jnp.float32))["params"]
+    cnn = CNNOpenLab(dropout=0.0)
+    cv = cnn.init({"params": jax.random.PRNGKey(1)},
+                  jnp.zeros((2, T, C, 1), jnp.float32))
+    rng = np.random.default_rng(3)
+    Xc = rng.normal(size=(12, T, C)).astype(np.float32)
+    Xr = rng.normal(size=(12, T, C)).astype(np.float32)
+    common = dict(stage2="cnn", cnn_model=cnn, cnn_variables=cv,
+                  cnn_mu=np.zeros(C, np.float32), cnn_sd=np.ones(C, np.float32),
+                  stage2_threshold=0.5, seq_len=T, num_channels=C,
+                  min_bucket=4, max_batch=16)
+    args = (vae, vp, np.zeros(C, np.float32), np.ones(C, np.float32),
+            tuple(range(C)), 5.0, 0.5)
+    fused = OpenLabScorer(*args, use_fused_gate=True, gate_interpret=True,
+                          gate_io_dtype=jnp.float32, **common)
+    ref = OpenLabScorer(*args, use_fused_gate=False, **common)
+    got, want = fused.score_pair(Xc, Xr), ref.score_pair(Xc, Xr)
+    np.testing.assert_allclose(got["mse"], want["mse"], rtol=2e-4, atol=2e-5)
+    np.testing.assert_array_equal(got["anomalous"].astype(bool),
+                                  want["anomalous"].astype(bool))
+    np.testing.assert_array_equal(got["y_pred"], want["y_pred"])
+
+
 def test_conv_impl_override_plumbs_through(scorer, subset, tmp_path):
     """from_artifacts(conv_impl=...) freezes the requested CNN lowering into
     the scorer (and hence into an exported artifact — export.py records it

@@ -57,6 +57,7 @@ def main() -> None:
 
     # LSTM artifacts + the real test windows (raw trees are byte-identical
     # between data/4dof and data/4dof_attention — BENCHMARKS.md)
+    print("loading artifacts/windows...", flush=True)
     vae_l, cnn, vae_l_params, cnn_vars, W, mean_l, std_l, thr_l = (
         load_trained_workload())
     reps = -(-5440 // W.shape[0])
@@ -74,8 +75,10 @@ def main() -> None:
     meanj, stdj = jnp.asarray(mean), jnp.asarray(std)
     thrj = jnp.float32(thr)
 
+    print("normalizing on device (first dispatch)...", flush=True)
     Z = jax.device_put((jnp.asarray(W) - meanj) / stdj)
     float(np.asarray(Z).sum())
+    print("device ready; compiling XLA f32 gate...", flush=True)
 
     # ---- correctness on the deployed artifacts ----
     from shm_tpu.models import TemporalVAE
@@ -91,6 +94,7 @@ def main() -> None:
         return ((Zb - recon) ** 2).mean(axis=(1, 2))
 
     mse_x = np.asarray(xla_gate_f32(vae_a_params, Z))
+    print("compiling kernel gate...", flush=True)
     kern_gate = jax.jit(lambda p, Zb: fused_attention_gate(
         p, Zb, num_layers=2, use_layernorm=True, with_residual=False,
         io_dtype=jnp.bfloat16)[0])
