@@ -50,6 +50,32 @@ def test_shardmap_hybrid_fused_pallas_inner(setup):
                                   np.asarray(single.y_pred))
 
 
+def test_shardmap_hybrid_fused_attention_inner():
+    """Multi-chip serving of the attention family: auto_fused_gate now routes
+    cell="attention" through its head-packed kernel on TPU, and mesh-backed
+    scorers wrap the SAME make_hybrid_fn in shard_map — so the kernel must
+    run per-device inside shard_map too (interpret on CPU; kernel-supported
+    width hidden_dim=32)."""
+    vae = vae_from_config(VAEConfig(12, 4, 32, 1, 0.0, use_layernorm=True,
+                                    cell="attention"))
+    cnn = CNN4DOF()
+    key = jax.random.PRNGKey(0)
+    W = jax.random.normal(key, (64, 100, 12))
+    vp = vae.init({"params": key}, W[:2])["params"]
+    cv = cnn.init({"params": key}, jnp.zeros((2, 100, 12, 2)))
+    mean, std = jnp.zeros(12), jnp.ones(12)
+    thr = jnp.float32(0.5)
+    single = make_hybrid_fn(vae, cnn)(vp, cv, W, mean, std, thr)
+    mesh = make_mesh(8)
+    fn = make_dp_hybrid_shardmap(vae, cnn, mesh, use_fused_vae=True,
+                                 fused_dtype=jnp.float32, fused_interpret=True)
+    out = fn(vp, cv, W, mean, std, thr)
+    np.testing.assert_allclose(np.asarray(out.mse), np.asarray(single.mse),
+                               atol=2e-5, rtol=2e-4)
+    np.testing.assert_array_equal(np.asarray(out.y_pred),
+                                  np.asarray(single.y_pred))
+
+
 def test_make_mesh_rejects_overrequest():
     """Requesting more devices than exist must raise, not silently truncate —
     `--devices 8` on a 1-chip host would otherwise train single-device while

@@ -89,10 +89,17 @@ def main() -> None:
         print(f"  {g}: {len(W)} windows, primary gate rate "
               f"{np.mean(got['anomalous']):.4f}", flush=True)
     serve_dt = time.perf_counter() - t0
-    deadline = time.time() + 600
-    while srv.shadow.snapshot()["pending_windows"] and time.time() < deadline:
-        time.sleep(0.5)
     total = sum(sizes.values())
+    # wait on COMPARED+DROPPED reaching the served total, not queue drain:
+    # the server enqueues to the shadow AFTER sending the response, so
+    # pending_windows can read 0 before the last request's windows are even
+    # submitted (same race tests/test_serve_shadow.py pins for /reload)
+    deadline = time.time() + 600
+    while time.time() < deadline:
+        snap = srv.shadow.snapshot()
+        if snap["windows"] + snap["dropped_windows"] >= total:
+            break
+        time.sleep(0.5)
     snap = srv.shadow.snapshot()
     print(f"served {total} windows in {serve_dt:.2f}s "
           f"({total / serve_dt:,.0f} win/s through HTTP)", flush=True)

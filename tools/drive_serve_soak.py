@@ -125,6 +125,17 @@ def main() -> None:
                 record(False, 0, time.perf_counter() - t0, err=e)
 
     admin_log = []
+    # cumulative shadow totals: /recalibrate and /reload RESET the engine's
+    # comparison counters by design (primary decisions changed), so the
+    # end-of-soak snapshot alone can read 0/0 if a reset landed last — fold
+    # each pre-reset snapshot into lifetime totals instead
+    shadow_totals = {"windows": 0, "gate_agree": 0, "dropped_windows": 0,
+                     "errors": 0}
+
+    def fold_shadow() -> None:
+        snap = srv.shadow.snapshot()
+        for k in shadow_totals:
+            shadow_totals[k] += int(snap.get(k, 0))
 
     def admin() -> None:
         reloaded = False
@@ -134,6 +145,7 @@ def main() -> None:
                 _req(base, "/metrics")
                 _req(base, "/metrics",
                      headers={"Accept": "application/json"})
+                fold_shadow()             # /recalibrate resets the counters
                 code, body = _req(
                     base, "/recalibrate", data=healthy.tobytes(),
                     headers={"Content-Type": "application/octet-stream",
@@ -143,6 +155,7 @@ def main() -> None:
                                   json.loads(body).get("threshold")))
                 _req(base, "/drift/reset", data=b"", method="POST")
                 if not reloaded and time.time() > stop - args.duration / 2:
+                    fold_shadow()         # /reload resets the counters too
                     code, _ = _req(base, "/reload", data=b"", method="POST")
                     admin_log.append(("reload", code, None))
                     for _ in range(600):
@@ -167,7 +180,8 @@ def main() -> None:
     wall = time.perf_counter() - t0
 
     lat = np.sort(np.asarray(stats["latencies"]))
-    snap = srv.shadow.snapshot()
+    fold_shadow()                       # last inter-reset interval
+    snap = shadow_totals
     _, body = _req(base, "/metrics", headers={"Accept": "application/json"})
     m = json.loads(body)
     print(f"soak {wall:.1f}s: {stats['ok']} ok / {stats['fail']} failed "
