@@ -193,6 +193,15 @@ def train_cnn(
         params = optax.apply_updates(params, updates)
         return params, new_bst, opt_state, l * bmask.sum(), bmask.sum()
 
+    # jitted stats reduction (same rationale as train/vae.py::epoch_reduce):
+    # eager-stacking the nb collected device scalars costs ~2*nb tiny
+    # dispatches per epoch and was the site of an intermittent XLA-CPU
+    # SIGABRT; the stack-then-sum shape matches fused_epoch_step's scan
+    # reduction, preserving the loop/fused bit-identity contract.
+    @jax.jit
+    def epoch_reduce(ls, ns):
+        return jnp.stack(ls).sum() / jnp.maximum(jnp.stack(ns).sum(), 1.0)
+
     def train_epoch(params, batch_stats, opt_state, Xtr, ytr, key):
         idx, mask, bkeys = epoch_prologue(key)
         ls, ns = [], []
@@ -202,7 +211,7 @@ def train_cnn(
             ls.append(l)
             ns.append(n)
         return (params, batch_stats, opt_state,
-                jnp.stack(ls).sum() / jnp.maximum(jnp.stack(ns).sum(), 1.0))
+                epoch_reduce(tuple(ls), tuple(ns)))
 
     # fused per-epoch program: identical math/key derivation to the loop above,
     # but the batch loop is a lax.scan inside ONE jitted call per epoch

@@ -123,16 +123,21 @@ def train_vae(
     dispatches, so the trajectory is bit-identical to the whole-run program
     and the loop. If K does not divide E the remainder chunk costs a second
     compile — prefer K | E. A perf knob only: it has no effect when the
-    fused path is not taken (``fused_epochs=False``, the CPU auto-default,
-    or ``checkpoint_dir`` forcing the per-batch loop) — the loop already
-    pays no whole-run compile.
+    fused path is not taken (``fused_epochs=False`` or the CPU auto-default)
+    — the loop already pays no whole-run compile.
 
     ``Ztr``/``Zva``: (N, T, D) normalized window stacks (already on device or host).
 
     With ``checkpoint_dir`` + ``checkpoint_every=k``, the FULL training state
     (params, optimizer moments, best-val selection, PRNG key, history) persists
     every k epochs and an interrupted run resumes exactly (a capability the
-    reference lacks — SURVEY.md §5 checkpoint/resume).
+    reference lacks — SURVEY.md §5 checkpoint/resume). By default this selects
+    the per-batch loop; pass ``fused_epochs=True`` to keep fused-path speed —
+    the run then dispatches in K-epoch chunks (K = ``epoch_chunk`` or
+    ``checkpoint_every``) and checkpoints at chunk boundaries that are
+    multiples of ``checkpoint_every``. The checkpoint format is identical
+    across paths, so a loop-checkpointed run resumes fused and vice versa,
+    on the same bit-identical trajectory.
 
     ``mesh``: a 1-D ``jax.sharding.Mesh`` (see ``shm_tpu.parallel.make_mesh``)
     turns every execution structure above — per-batch loop, fused whole-run
@@ -306,15 +311,18 @@ def train_vae(
 
     # ----- fused-epochs fast path: the ENTIRE training run is one device
     # program (scan over epochs; best-val selection on device) — one dispatch,
-    # one host fetch. Used when nothing needs per-epoch host control (no
-    # mid-training checkpointing). -----
+    # one host fetch. With checkpoint_dir + checkpoint_every it still applies
+    # when requested EXPLICITLY (fused_epochs=True): the run dispatches in
+    # chunks and the full training state persists at chunk boundaries, so
+    # resumable training keeps fused-path speed. -----
     if fused_epochs is None:
         # v5e, 50-epoch 4DOF recipe (tools/bench_train.py, round 2): the fused
         # whole-run program is 1.7x the per-batch loop (15.9s vs 27.0s; 14.2s
         # with the Pallas kernel) AND compiles faster, with a bit-identical
         # trajectory — so it is the default wherever per-epoch host control
-        # isn't needed (checkpointing falls back to the loop below). CPU keeps
-        # the loop: the whole-run compile dominates small test workloads.
+        # isn't needed (checkpointing auto-defaults to the loop below, but
+        # composes with the fused path when fused_epochs=True is explicit).
+        # CPU keeps the loop: whole-run compile dominates small test workloads.
         from shm_tpu.ops import is_tpu_backend
 
         fused_epochs = checkpoint_dir is None and is_tpu_backend()
@@ -323,106 +331,10 @@ def train_vae(
     # bit-identical training trajectories.
     E = cfg.epochs
     epoch_keys = jax.random.split(root, 2 * E).reshape(E, 2, 2)
-    if fused_epochs and checkpoint_dir is None:
-        kl_ws = jnp.asarray([
-            kl_anneal_sigmoid(e, E, cfg.kl_warmup_ratio) for e in range(1, E + 1)
-        ], jnp.float32)
-        keys = epoch_keys
-        e_idx_all = jnp.arange(1, E + 1, dtype=jnp.int32)
-        chunk = min(epoch_chunk or E, E)
 
-        @jax.jit
-        def run_chunk(carry, Ztr, Zva, kl_ws, keys, e_idx):
-            """Scan over a block of epochs; one compiled program per distinct
-            chunk LENGTH (epoch_chunk=None -> one whole-run program)."""
-            def epoch_body(carry, inp):
-                p, s, best_val, best_p, best_e = carry
-                kl_w, ks, e_i = inp
-                p, s, tl, rl, kl = train_epoch_core(p, s, Ztr, ks[0], kl_w)
-                vl, vr, vkl = val_epoch_core(p, Zva, ks[1], kl_w)
-                improved = vl < best_val
-                best_val = jnp.where(improved, vl, best_val)
-                best_e = jnp.where(improved, e_i, best_e)
-                best_p = jax.tree.map(
-                    lambda b, q: jnp.where(improved, q, b), best_p, p)
-                return (p, s, best_val, best_p, best_e), (tl, rl, kl, vl, vr, vkl)
-
-            return jax.lax.scan(epoch_body, carry, (kl_ws, keys, e_idx))
-
-        t0 = time.perf_counter()
-        carry = (params, opt_state, jnp.float32(jnp.inf), params, jnp.int32(-1))
-        stats_chunks = []
-        # the carry never leaves the device between chunk dispatches, so the
-        # chunked run's trajectory is bit-identical to the whole-run program
-        for c0 in range(0, E, chunk):
-            c1 = min(c0 + chunk, E)
-            carry, stats_c = run_chunk(carry, Ztr, Zva, kl_ws[c0:c1],
-                                       keys[c0:c1], e_idx_all[c0:c1])
-            stats_chunks.append(stats_c)
-        params, opt_state, best_val_d, best_params, best_epoch_d = carry
-        stats_h = jax.device_get(stats_chunks)
-        best_val = float(jax.device_get(best_val_d))
-        best_epoch = int(jax.device_get(best_epoch_d))
-        seconds = time.perf_counter() - t0
-
-        tl, rl, kl, vl, vr, vkl = [
-            np.concatenate([np.asarray(c[i], np.float64) for c in stats_h])
-            for i in range(6)]
-        hist = {
-            "epoch": list(range(1, E + 1)),
-            "kl_w": [float(x) for x in np.asarray(kl_ws)],
-            "train_total": tl.tolist(), "train_recon": rl.tolist(),
-            "train_kl": kl.tolist(),
-            "val_total": vl.tolist(), "val_recon": vr.tolist(),
-            "val_kl": vkl.tolist(),
-        }
-        if log_every:
-            for e in range(0, E, log_every):
-                print(f"[train] epoch {e + 1:03d}/{E} | kl_w={hist['kl_w'][e]:.6f} "
-                      f"| total={tl[e]:.6f} | recon={rl[e]:.6f} | kl={kl[e]:.6f}")
-                print(f"[val  ] epoch {e + 1:03d}/{E} | total={vl[e]:.6f}")
-        return VAETrainResult(
-            params=best_params, last_params=params, history=hist,
-            best_val=best_val, best_epoch=best_epoch, seconds=seconds,
-        )
-
-    # --- per-batch stepping for the epoch loop (checkpointing / CPU path) ---
-    # Reproduces train_epoch_core's key derivation and batch order exactly, so
-    # fused/loop/resume runs stay bit-identical; needed whenever per-epoch host
-    # control (mid-training checkpoints) is requested.
-    @jax.jit
-    def batch_step(params, opt_state, Ztr, bidx, bmask, bk, kl_w):
-        xb = Ztr[bidx]
-        (total, (r, kl)), grads = batch_loss_grads(params, xb, bmask, bk, kl_w)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        n = bmask.sum()
-        return params, opt_state, total * n, r * n, kl * n, n
-
-    @jax.jit
-    def epoch_prologue(key):
-        kperm, kbatch = jax.random.split(key)
-        perm = jax.random.permutation(kperm, N)
-        idx = jnp.concatenate([perm, perm[: pad]]) if pad else perm
-        return idx.reshape(nb, bs), jax.random.split(kbatch, nb)
-
-    mask_np = np.concatenate([np.ones((N,), np.float32),
-                              np.zeros((pad,), np.float32)]).reshape(nb, bs)
-    mask_dev = jnp.asarray(mask_np)
-
-    def train_epoch(params, opt_state, Ztr, key, kl_w):
-        idx, bkeys = epoch_prologue(key)
-        tls, rls, kls, ns = [], [], [], []
-        for b in range(nb):
-            params, opt_state, tl, rl, kl, n = batch_step(
-                params, opt_state, Ztr, idx[b], mask_dev[b], bkeys[b], kl_w)
-            tls.append(tl); rls.append(rl); kls.append(kl); ns.append(n)
-        denom = jnp.maximum(jnp.stack(ns).sum(), 1.0)
-        return (params, opt_state, jnp.stack(tls).sum() / denom,
-                jnp.stack(rls).sum() / denom, jnp.stack(kls).sum() / denom)
-
-    val_epoch = jax.jit(val_epoch_core)
-
+    # --- training-state init + checkpoint restore, shared by BOTH execution
+    # structures (the checkpoint format is path-agnostic: a run checkpointed
+    # by the loop resumes on the fused path and vice versa) ---
     hist: Dict[str, list] = {k: [] for k in (
         "epoch", "kl_w", "train_total", "train_recon", "train_kl",
         "val_total", "val_recon", "val_kl")}
@@ -465,6 +377,162 @@ def train_vae(
                 # so a silently-ignored missing checkpoint (path typo, format
                 # drift) would be indistinguishable from a working resume
                 print(f"[resume] no checkpoint at {ckpt_path}; starting fresh")
+
+    if fused_epochs:
+        kl_ws = jnp.asarray([
+            kl_anneal_sigmoid(e, E, cfg.kl_warmup_ratio) for e in range(1, E + 1)
+        ], jnp.float32)
+        keys = epoch_keys
+        e_idx_all = jnp.arange(1, E + 1, dtype=jnp.int32)
+        # with periodic checkpointing, chunks default to checkpoint_every so
+        # every checkpoint epoch lands on a chunk boundary; an explicit
+        # epoch_chunk wins (state then persists only at boundaries that are
+        # multiples of checkpoint_every — prefer epoch_chunk | checkpoint_every)
+        if ckpt_path and checkpoint_every:
+            chunk = min(epoch_chunk or checkpoint_every, E)
+        else:
+            chunk = min(epoch_chunk or E, E)
+
+        @jax.jit
+        def run_chunk(carry, Ztr, Zva, kl_ws, keys, e_idx):
+            """Scan over a block of epochs; one compiled program per distinct
+            chunk LENGTH (epoch_chunk=None -> one whole-run program)."""
+            def epoch_body(carry, inp):
+                p, s, best_val, best_p, best_e = carry
+                kl_w, ks, e_i = inp
+                p, s, tl, rl, kl = train_epoch_core(p, s, Ztr, ks[0], kl_w)
+                vl, vr, vkl = val_epoch_core(p, Zva, ks[1], kl_w)
+                improved = vl < best_val
+                best_val = jnp.where(improved, vl, best_val)
+                best_e = jnp.where(improved, e_i, best_e)
+                best_p = jax.tree.map(
+                    lambda b, q: jnp.where(improved, q, b), best_p, p)
+                return (p, s, best_val, best_p, best_e), (tl, rl, kl, vl, vr, vkl)
+
+            return jax.lax.scan(epoch_body, carry, (kl_ws, keys, e_idx))
+
+        t0 = time.perf_counter()
+        carry = (params, opt_state, jnp.float32(best_val), best_params,
+                 jnp.int32(best_epoch))
+        base_hist = {k: list(v) for k, v in hist.items()}
+        kl_host = np.asarray(kl_ws)     # f32-rounded, matching loop history
+        stats_dev: list = []            # not-yet-fetched chunk stats
+        stats_host: list = []           # fetched per-chunk 6-tuples
+
+        def _drain_stats():
+            nonlocal stats_dev
+            if stats_dev:
+                stats_host.extend(jax.device_get(stats_dev))
+                stats_dev = []
+
+        def _hist_now():
+            cols = [
+                np.concatenate([np.asarray(c[i], np.float64)
+                                for c in stats_host])
+                if stats_host else np.zeros((0,), np.float64)
+                for i in range(6)]
+            epochs = list(range(start_epoch, start_epoch + len(cols[0])))
+            return {
+                "epoch": base_hist["epoch"] + epochs,
+                "kl_w": base_hist["kl_w"] + [float(kl_host[e - 1])
+                                             for e in epochs],
+                "train_total": base_hist["train_total"] + cols[0].tolist(),
+                "train_recon": base_hist["train_recon"] + cols[1].tolist(),
+                "train_kl": base_hist["train_kl"] + cols[2].tolist(),
+                "val_total": base_hist["val_total"] + cols[3].tolist(),
+                "val_recon": base_hist["val_recon"] + cols[4].tolist(),
+                "val_kl": base_hist["val_kl"] + cols[5].tolist(),
+            }
+
+        # the carry never leaves the device between chunk dispatches, so the
+        # chunked run's trajectory is bit-identical to the whole-run program;
+        # per-epoch stats are fetched lazily (at checkpoint saves and at the
+        # end) so a no-checkpoint run keeps its single end-of-run host fetch
+        for c0 in range(start_epoch - 1, E, chunk):
+            c1 = min(c0 + chunk, E)
+            carry, stats_c = run_chunk(carry, Ztr, Zva, kl_ws[c0:c1],
+                                       keys[c0:c1], e_idx_all[c0:c1])
+            stats_dev.append(stats_c)
+            if ckpt_path and checkpoint_every and c1 % checkpoint_every == 0:
+                _drain_stats()
+                p_c, s_c, bv_d, bp_c, be_d = carry
+                save_train_ckpt(
+                    ckpt_path,
+                    {"params": p_c, "opt_state": s_c, "best_params": bp_c,
+                     "rng": root},
+                    {"epoch": c1, "best_val": float(jax.device_get(bv_d)),
+                     "best_epoch": int(jax.device_get(be_d)),
+                     "history": _hist_now(), "init_consumed": init_consumed},
+                )
+        params, opt_state, best_val_d, best_params, best_epoch_d = carry
+        _drain_stats()
+        best_val = float(jax.device_get(best_val_d))
+        best_epoch = int(jax.device_get(best_epoch_d))
+        seconds = time.perf_counter() - t0
+        hist = _hist_now()
+        if log_every:
+            for i in range(0, len(hist["epoch"]), log_every):
+                print(f"[train] epoch {hist['epoch'][i]:03d}/{E} "
+                      f"| kl_w={hist['kl_w'][i]:.6f} "
+                      f"| total={hist['train_total'][i]:.6f} "
+                      f"| recon={hist['train_recon'][i]:.6f} "
+                      f"| kl={hist['train_kl'][i]:.6f}")
+                print(f"[val  ] epoch {hist['epoch'][i]:03d}/{E} "
+                      f"| total={hist['val_total'][i]:.6f}")
+        return VAETrainResult(
+            params=best_params, last_params=params, history=hist,
+            best_val=best_val, best_epoch=best_epoch, seconds=seconds,
+        )
+
+    # --- per-batch stepping for the epoch loop (checkpointing / CPU path) ---
+    # Reproduces train_epoch_core's key derivation and batch order exactly, so
+    # fused/loop/resume runs stay bit-identical; needed whenever per-epoch host
+    # control (mid-training checkpoints) is requested.
+    @jax.jit
+    def batch_step(params, opt_state, Ztr, bidx, bmask, bk, kl_w):
+        xb = Ztr[bidx]
+        (total, (r, kl)), grads = batch_loss_grads(params, xb, bmask, bk, kl_w)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        n = bmask.sum()
+        return params, opt_state, total * n, r * n, kl * n, n
+
+    @jax.jit
+    def epoch_prologue(key):
+        kperm, kbatch = jax.random.split(key)
+        perm = jax.random.permutation(kperm, N)
+        idx = jnp.concatenate([perm, perm[: pad]]) if pad else perm
+        return idx.reshape(nb, bs), jax.random.split(kbatch, nb)
+
+    mask_np = np.concatenate([np.ones((N,), np.float32),
+                              np.zeros((pad,), np.float32)]).reshape(nb, bs)
+    mask_dev = jnp.asarray(mask_np)
+
+    # The epoch-stats reduction runs UNDER JIT (the nb collected device
+    # scalars arrive as one pytree argument): stacking them eagerly instead
+    # issues ~4*nb tiny dispatches per epoch — per-op RPC overhead on the
+    # tunneled TPU, and the exact site of an intermittent XLA-CPU SIGABRT
+    # observed 4/4 times in this loop's eager broadcast_in_dim dispatch
+    # (CLAUDE.md; tests/test_cli.py::test_stage1dof_train_vae_devices_flag...).
+    # Same stack-then-sum reduction shape as train_epoch_core, so the
+    # loop/fused bit-identity contract is unchanged.
+    @jax.jit
+    def epoch_reduce(tls, rls, kls, ns):
+        denom = jnp.maximum(jnp.stack(ns).sum(), 1.0)
+        return (jnp.stack(tls).sum() / denom, jnp.stack(rls).sum() / denom,
+                jnp.stack(kls).sum() / denom)
+
+    def train_epoch(params, opt_state, Ztr, key, kl_w):
+        idx, bkeys = epoch_prologue(key)
+        tls, rls, kls, ns = [], [], [], []
+        for b in range(nb):
+            params, opt_state, tl, rl, kl, n = batch_step(
+                params, opt_state, Ztr, idx[b], mask_dev[b], bkeys[b], kl_w)
+            tls.append(tl); rls.append(rl); kls.append(kl); ns.append(n)
+        tl, rl, kl = epoch_reduce(tuple(tls), tuple(rls), tuple(kls), tuple(ns))
+        return params, opt_state, tl, rl, kl
+
+    val_epoch = jax.jit(val_epoch_core)
 
     t0 = time.perf_counter()
 

@@ -68,6 +68,54 @@ def test_train_resume_is_exact(tmp_path, windows, capsys):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
 
 
+def test_fused_checkpoint_resume_matches_loop(tmp_path, windows, capsys):
+    """Checkpointing at fused-chunk boundaries: ``fused_epochs=True`` +
+    ``checkpoint_dir`` keeps fused-path speed while persisting full state.
+    The checkpoint format is path-agnostic — here a LOOP-written checkpoint
+    resumes on the FUSED path onto the identical trajectory — and a resume
+    of an already-complete checkpoint returns the recorded result without
+    running any epochs."""
+    model = vae_from_config(VAEConfig(4, 3, 16, 1, 0.0))
+    W = windows
+    cfg6 = TrainConfig(epochs=6, batch_size=32, lr=1e-3, weight_decay=1e-5,
+                       grad_clip=2.0, seed=0)
+    full = train_vae(model, W, W[:32], cfg6)   # uninterrupted loop run
+
+    # phase 1: LOOP-path run to epoch 4 (simulated interruption), saving every 2
+    d = tmp_path / "ck"
+    train_vae(model, W, W[:32],
+              TrainConfig(epochs=4, batch_size=32, lr=1e-3, weight_decay=1e-5,
+                          grad_clip=2.0, seed=0),
+              checkpoint_dir=str(d), checkpoint_every=2)
+    # phase 2: resume on the FUSED path to epoch 6 (chunk = checkpoint_every)
+    capsys.readouterr()
+    res = train_vae(model, W, W[:32], cfg6, checkpoint_dir=str(d),
+                    checkpoint_every=2, resume=True, fused_epochs=True)
+    assert "[resume] restored epoch 4" in capsys.readouterr().out
+    assert res.history["epoch"] == full.history["epoch"]
+    for col in ("kl_w", "train_total", "train_recon", "train_kl",
+                "val_total", "val_recon", "val_kl"):
+        np.testing.assert_allclose(res.history[col], full.history[col],
+                                   rtol=1e-6, err_msg=col)
+    assert res.best_epoch == full.best_epoch
+    np.testing.assert_allclose(res.best_val, full.best_val, rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(full.last_params),
+                    jax.tree.leaves(res.last_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+
+    # phase 2 checkpointed at its final chunk boundary (epoch 6): resuming the
+    # COMPLETE run must restore the recorded result and run zero epochs
+    capsys.readouterr()
+    res2 = train_vae(model, W, W[:32], cfg6, checkpoint_dir=str(d),
+                     checkpoint_every=2, resume=True, fused_epochs=True)
+    assert "[resume] restored epoch 6" in capsys.readouterr().out
+    assert res2.history["epoch"] == full.history["epoch"]
+    assert res2.best_epoch == full.best_epoch
+    for a, b in zip(jax.tree.leaves(res.last_params),
+                    jax.tree.leaves(res2.last_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_timer_and_throughput():
     t = Timer()
     with t.span("a"):
