@@ -390,6 +390,20 @@ def train_vae(
         # multiples of checkpoint_every — prefer epoch_chunk | checkpoint_every)
         if ckpt_path and checkpoint_every:
             chunk = min(epoch_chunk or checkpoint_every, E)
+            if chunk % checkpoint_every != 0 and checkpoint_every % chunk != 0:
+                # e.g. epoch_chunk=2, checkpoint_every=3 -> saves only at
+                # epochs 6, 12, ... (boundaries that are multiples of 3):
+                # far rarer than requested, silently weakening interruption
+                # safety — say so instead of relying on a comment
+                import warnings
+
+                warnings.warn(
+                    f"epoch_chunk={chunk} does not align with "
+                    f"checkpoint_every={checkpoint_every}: checkpoints only "
+                    f"fire at chunk boundaries divisible by checkpoint_every "
+                    f"(every lcm={chunk * checkpoint_every // math.gcd(chunk, checkpoint_every)} "
+                    f"epochs). Use epoch_chunk that is a multiple (or "
+                    f"divisor) of checkpoint_every.", stacklevel=2)
         else:
             chunk = min(epoch_chunk or E, E)
 
@@ -471,7 +485,13 @@ def train_vae(
         seconds = time.perf_counter() - t0
         hist = _hist_now()
         if log_every:
-            for i in range(0, len(hist["epoch"]), log_every):
+            # only the epochs THIS call ran (a resume's base_hist epochs were
+            # already logged by the interrupted run), gated on the absolute
+            # epoch number to match the loop path's `epoch % log_every == 0`
+            # cadence
+            for i in range(len(base_hist["epoch"]), len(hist["epoch"])):
+                if hist["epoch"][i] % log_every != 0:
+                    continue
                 print(f"[train] epoch {hist['epoch'][i]:03d}/{E} "
                       f"| kl_w={hist['kl_w'][i]:.6f} "
                       f"| total={hist['train_total'][i]:.6f} "

@@ -116,6 +116,72 @@ def test_fused_checkpoint_resume_matches_loop(tmp_path, windows, capsys):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_loop_resume_of_fused_checkpoint_matches_loop(tmp_path, windows,
+                                                     capsys):
+    """The other direction of path-agnosticism, with REAL epochs both sides:
+    a FUSED-path run interrupted at epoch 4 writes a checkpoint that a
+    LOOP-path (``fused_epochs=False``) resume continues onto the identical
+    trajectory of an uninterrupted loop run (ADVICE r3: this direction was
+    previously only exercised with a zero-epoch second resume)."""
+    model = vae_from_config(VAEConfig(4, 3, 16, 1, 0.0))
+    W = windows
+    cfg6 = TrainConfig(epochs=6, batch_size=32, lr=1e-3, weight_decay=1e-5,
+                       grad_clip=2.0, seed=0)
+    full = train_vae(model, W, W[:32], cfg6)   # uninterrupted loop run
+
+    # phase 1: FUSED-path run to epoch 4 (simulated interruption), saving
+    # at every 2-epoch chunk boundary
+    d = tmp_path / "ck"
+    train_vae(model, W, W[:32],
+              TrainConfig(epochs=4, batch_size=32, lr=1e-3, weight_decay=1e-5,
+                          grad_clip=2.0, seed=0),
+              checkpoint_dir=str(d), checkpoint_every=2, fused_epochs=True)
+    # phase 2: resume the fused-written checkpoint on the LOOP path
+    capsys.readouterr()
+    res = train_vae(model, W, W[:32], cfg6, checkpoint_dir=str(d),
+                    checkpoint_every=2, resume=True, fused_epochs=False)
+    assert "[resume] restored epoch 4" in capsys.readouterr().out
+    assert res.history["epoch"] == full.history["epoch"]
+    for col in ("kl_w", "train_total", "train_recon", "train_kl",
+                "val_total", "val_recon", "val_kl"):
+        np.testing.assert_allclose(res.history[col], full.history[col],
+                                   rtol=1e-6, err_msg=col)
+    assert res.best_epoch == full.best_epoch
+    np.testing.assert_allclose(res.best_val, full.best_val, rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(full.last_params),
+                    jax.tree.leaves(res.last_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+
+
+def test_misaligned_epoch_chunk_checkpoint_warns(tmp_path, windows):
+    """epoch_chunk=2 with checkpoint_every=3 only saves at epochs divisible
+    by 6 (chunk boundaries that are multiples of checkpoint_every) — the
+    trainer must warn about the misalignment instead of silently weakening
+    interruption safety (ADVICE r3)."""
+    import warnings
+
+    model = vae_from_config(VAEConfig(4, 3, 16, 1, 0.0))
+    cfg = TrainConfig(epochs=6, batch_size=32, lr=1e-3, weight_decay=1e-5,
+                      grad_clip=2.0, seed=0)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        train_vae(model, windows, windows[:32], cfg,
+                  checkpoint_dir=str(tmp_path / "ck"), checkpoint_every=3,
+                  fused_epochs=True, epoch_chunk=2)
+    msgs = [str(w.message) for w in rec]
+    assert any("does not align" in m for m in msgs), msgs
+
+    # aligned combos stay silent: chunk a divisor (saves exactly as
+    # requested) or a multiple (saves every chunk, the max possible)
+    for ec, ce in ((2, 4), (6, 3)):
+        with warnings.catch_warnings(record=True) as rec:
+            warnings.simplefilter("always")
+            train_vae(model, windows, windows[:32], cfg,
+                      checkpoint_dir=str(tmp_path / f"ck{ec}_{ce}"),
+                      checkpoint_every=ce, fused_epochs=True, epoch_chunk=ec)
+        assert not any("does not align" in str(w.message) for w in rec)
+
+
 def test_timer_and_throughput():
     t = Timer()
     with t.span("a"):
