@@ -504,7 +504,7 @@ def _ml_data(paths: Paths):
 
 
 def cmd_train_ml(paths: Paths, cfg: OpenLabConfig,
-                 svm_probability: str = "svc") -> None:
+                 svm_probability: str = "calibrated") -> None:
     import joblib
 
     X, y, masks = _ml_data(paths)
@@ -779,13 +779,15 @@ def main(argv=None) -> None:
                          " + longer patience, best VAL ST-F2 model kept)")
     ap.add_argument("--seeds", type=int, default=3,
                     help="number of seeds for --quality (default 3)")
-    ap.add_argument("--svm-probability", default="svc",
+    ap.add_argument("--svm-probability", default="calibrated",
                     choices=["svc", "calibrated"],
-                    help="train-ml SVM probability path: 'svc' = reference "
-                         "parity (SVC(probability=True)); 'calibrated' = the "
-                         "sklearn-1.11 replacement "
-                         "(CalibratedClassifierCV(SVC(), ensemble=False)); "
-                         "both serve on-device in test-hybrid")
+                    help="train-ml SVM probability path: 'calibrated' "
+                         "(default) = CalibratedClassifierCV(SVC(), "
+                         "ensemble=False), the sklearn-1.11 replacement for "
+                         "the deprecated probability param; 'svc' = the "
+                         "reference's exact SVC(probability=True) (parity "
+                         "flag; FutureWarning on sklearn>=1.9); both serve "
+                         "on-device in test-hybrid")
     ap.add_argument("--devices", type=int, default=None,
                     help="data-parallel training over the first N local devices")
     ap.add_argument("--cell", choices=["lstm", "min_gru", "attention"],

@@ -16,12 +16,16 @@ from typing import Dict
 import numpy as np
 
 
-def build_ml_models(seed: int = 42, svm_probability: str = "svc") -> Dict[str, object]:
-    """``svm_probability``: "svc" (reference parity — ``SVC(probability=True)``,
-    08:323-327) or "calibrated" (``CalibratedClassifierCV(SVC(), ensemble=False,
-    method="sigmoid")`` — the sklearn-1.11 replacement for the deprecated
-    probability parameter; served on-device by
-    :func:`shm_tpu.models.svm_jax.calibrated_svm_predict_proba`)."""
+def build_ml_models(seed: int = 42,
+                    svm_probability: str = "calibrated") -> Dict[str, object]:
+    """``svm_probability``: "calibrated" (DEFAULT —
+    ``CalibratedClassifierCV(SVC(), ensemble=False, method="sigmoid")``, the
+    sklearn-1.11 replacement for the deprecated probability parameter; served
+    on-device by :func:`shm_tpu.models.svm_jax.calibrated_svm_predict_proba`)
+    or "svc" (the reference's exact API — ``SVC(probability=True)``,
+    08:323-327 — which emits a FutureWarning on sklearn >=1.9 and is removed
+    in 1.11; kept as the explicit parity flag). Quality parity of the two
+    paths on the committed openLAB features is documented in MIGRATION.md."""
     from sklearn.ensemble import (
         GradientBoostingClassifier,
         HistGradientBoostingClassifier,
