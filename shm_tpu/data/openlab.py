@@ -21,7 +21,6 @@ Rebuilds the stage-3 data layer:
 
 from __future__ import annotations
 
-import datetime as dt
 import os
 import re
 from pathlib import Path
@@ -46,29 +45,60 @@ LABEL_STRUCT_FAULT = "Structural Fault"
 
 
 def import_catman_file(file_path: str | os.PathLike):
-    """Parse an openLAB catman export into a DataFrame with absolute 'time'."""
+    """Parse an HBK catman ``MD_*.txt`` export into a DataFrame with an
+    absolute ``time`` column.
+
+    The on-disk format is fixed by the acquisition software (documented by
+    the provider's own reader, ``Codes/openlab_import.py:33-85``): cp1252
+    text, a 36-line header whose line 12 carries the acquisition start as
+    ``T0 = dd.mm.yyyy HH:MM:SS``, then a tab-separated decimal-comma table
+    with the 18-column channel schema in ``CATMAN_COLUMNS``. Those constants
+    are the file format's, not a design choice. The parse flow here is this
+    framework's own: the file is read ONCE (header and table split from the
+    same text buffer), T0 becomes a pandas Timestamp straight from the regex
+    groups, and the absolute time column is one vectorized
+    ``T0 + to_timedelta(Time_1)`` (NaN sample times map to NaT) rather than
+    a per-row lambda.
+    """
+    import io
+
     import pandas as pd
 
     file_path = os.fspath(file_path)
     with open(file_path, encoding="cp1252") as f:
-        lines = f.readlines()
-    if len(lines) <= T0_LINE_INDEX:
-        raise ValueError(f"Unexpected header length in {file_path!r}")
-    m = T0_PATTERN.search(lines[T0_LINE_INDEX])
+        text = f.read()
+    header, table = _split_lines(text, CATMAN_SKIPROWS)
+    if len(header) <= T0_LINE_INDEX or not table:
+        raise ValueError(f"{file_path!r}: not a catman export "
+                         f"(header shorter than {CATMAN_SKIPROWS} lines)")
+    m = T0_PATTERN.search(header[T0_LINE_INDEX])
     if m is None:
-        raise ValueError(f"T0 not found in header of {file_path!r}")
-    start_time = dt.datetime.strptime(
-        f"{m.group(3)}-{m.group(2)}-{m.group(1)} {m.group(4)}:{m.group(5)}:{m.group(6)}",
-        "%Y-%m-%d %H:%M:%S",
-    )
-    df = pd.read_csv(file_path, sep="\t", decimal=",", encoding="cp1252",
-                     skiprows=CATMAN_SKIPROWS, on_bad_lines="skip")
+        raise ValueError(f"{file_path!r}: no 'T0 = dd.mm.yyyy HH:MM:SS' on "
+                         f"header line {T0_LINE_INDEX}")
+    day, month, year, hh, mm, ss = (int(g) for g in m.groups())
+    t0 = pd.Timestamp(year=year, month=month, day=day,
+                      hour=hh, minute=mm, second=ss)
+
+    df = pd.read_csv(io.StringIO(table), sep="\t", decimal=",", header=0,
+                     on_bad_lines="skip")
+    if df.shape[1] != len(CATMAN_COLUMNS):
+        raise ValueError(f"{file_path!r}: expected {len(CATMAN_COLUMNS)} "
+                         f"channels, found {df.shape[1]}")
     df.columns = CATMAN_COLUMNS
     df["Time_1"] = pd.to_numeric(df["Time_1"], errors="coerce")
-    df["time"] = df["Time_1"].apply(
-        lambda s: start_time + dt.timedelta(seconds=float(s)) if pd.notnull(s) else pd.NaT
-    )
+    df["time"] = t0 + pd.to_timedelta(df["Time_1"], unit="s")
     return df
+
+
+def _split_lines(text: str, n_header: int) -> Tuple[List[str], str]:
+    """Split raw file text into (first n_header lines, remainder text).
+
+    The remainder keeps its own first line as the column row that
+    ``header=0`` consumes — matching ``skiprows=n_header`` semantics without
+    re-reading the file from disk.
+    """
+    lines = text.splitlines(keepends=True)
+    return [ln.rstrip("\r\n") for ln in lines[:n_header]], "".join(lines[n_header:])
 
 
 def run_id_from_path(file_path: str | os.PathLike) -> str:

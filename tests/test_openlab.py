@@ -212,6 +212,23 @@ def test_catman_parser_golden():
         "LWA_5", "NMA_5", "F_total", "Comment"]
     assert "time" in df.columns
     assert len(df) > 10000
+    # the absolute time column is T0 (header line 12; NOT the filename's
+    # time — this run's header says 08:43:51) + the per-sample Time_1
+    # offset, vectorized; NaN sample times map to NaT
+    import re
+
+    with open(p, encoding="cp1252") as f:
+        header12 = f.readlines()[12]
+    m = re.search(r"T0\s*=\s*(\d{2})\.(\d{2})\.(\d{4})\s+(\d{2}:\d{2}:\d{2})",
+                  header12)
+    assert m is not None
+    t0 = pd.Timestamp(f"{m.group(3)}-{m.group(2)}-{m.group(1)} {m.group(4)}")
+    t = df["time"]
+    valid = t.notna()
+    assert valid.any()
+    offs = (t[valid] - t0).dt.total_seconds().to_numpy()
+    np.testing.assert_allclose(
+        offs, df.loc[valid, "Time_1"].to_numpy(float), atol=1e-6)
 
 
 @needs_ref
