@@ -34,12 +34,21 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def initialize(coordinator_address: Optional[str] = None,
                num_processes: Optional[int] = None,
                process_id: Optional[int] = None,
-               local_device_ids: Optional[Sequence[int]] = None) -> None:
+               local_device_ids: Optional[Sequence[int]] = None,
+               initialization_timeout: Optional[int] = None) -> None:
     """Connect this process to the JAX distributed runtime.
 
     Thin wrapper over ``jax.distributed.initialize`` (args are auto-detected
     on managed TPU pods; explicit on CPU/GPU clusters). Must run before any
     other JAX call in the process.
+
+    ``initialization_timeout``: seconds to wait for the full cluster to
+    assemble (JAX default: 300). If any expected process never arrives —
+    crashed before startup, wrong rank count, dead host — every OTHER
+    process raises rather than hanging forever; launchers should treat that
+    raise as "restart the whole job", the standard SPMD failure model.
+    Measured behavior on this JAX version is pinned by
+    tests/test_distributed.py::test_missing_worker_raises_within_timeout.
     """
     kwargs = {}
     if coordinator_address is not None:
@@ -50,6 +59,8 @@ def initialize(coordinator_address: Optional[str] = None,
         kwargs["process_id"] = process_id
     if local_device_ids is not None:
         kwargs["local_device_ids"] = list(local_device_ids)
+    if initialization_timeout is not None:
+        kwargs["initialization_timeout"] = int(initialization_timeout)
     jax.distributed.initialize(**kwargs)
 
 

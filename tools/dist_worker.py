@@ -1,21 +1,47 @@
-"""Worker for the multi-process DCN integration test (tests/test_distributed.py).
+"""Worker for the multi-process DCN integration tests (tests/test_distributed.py).
 
 Each process: join the distributed runtime, build the global mesh, run ONE
 data-parallel VAE train step on its local batch shard, print the global loss.
-argv: rank num_processes port. Env (set by the parent): JAX_PLATFORMS=cpu,
-XLA_FLAGS=--xla_force_host_platform_device_count=<local devices>.
+
+argv: rank num_processes port [flags]. Env (set by the parent):
+JAX_PLATFORMS=cpu, XLA_FLAGS=--xla_force_host_platform_device_count=<N>.
+
+Failure-injection flags (the worker-death characterization tests):
+  --init-timeout S   pass initialization_timeout=S to jax.distributed
+  --die-after-init   exit(17) right after distributed init completes —
+                     simulates a worker crashing between startup and the
+                     first collective
+  --die-after-step   run the first train step normally, then _exit(9)
+                     without shutdown — simulates a steady-state crash;
+                     surviving ranks attempt a second step
 """
 
 import sys
 
 
 def main() -> None:
-    rank, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+    args = sys.argv[1:]
+    die_after_init = "--die-after-init" in args
+    die_after_step = "--die-after-step" in args
+    two_steps = "--two-steps" in args
+    args = [a for a in args
+            if a not in ("--die-after-init", "--die-after-step",
+                         "--two-steps")]
+    init_timeout = None
+    if "--init-timeout" in args:
+        i = args.index("--init-timeout")
+        init_timeout = int(args[i + 1])
+        del args[i:i + 2]
+    rank, nproc, port = int(args[0]), int(args[1]), args[2]
 
     from shm_tpu.parallel import distributed as dist
 
     if nproc > 1:
-        dist.initialize(f"localhost:{port}", nproc, rank)
+        dist.initialize(f"localhost:{port}", nproc, rank,
+                        initialization_timeout=init_timeout)
+    if die_after_init:
+        print("DYING after init", flush=True)
+        raise SystemExit(17)
 
     import jax
     import jax.numpy as jnp
@@ -49,6 +75,16 @@ def main() -> None:
     params, opt_state, loss = step(params, opt_state, Wg,
                                    jax.random.PRNGKey(2), jnp.float32(0.5))
     print(f"LOSS {float(loss):.9f}", flush=True)
+    if die_after_step:
+        import os
+
+        print("DYING after step", flush=True)
+        os._exit(9)
+    if not die_after_step and two_steps:
+        params, opt_state, loss2 = step(params, opt_state, Wg,
+                                        jax.random.PRNGKey(3),
+                                        jnp.float32(0.5))
+        print(f"LOSS2 {float(loss2):.9f}", flush=True)
     if nproc > 1:
         dist.shutdown()
 
