@@ -127,10 +127,16 @@ def cmd_gen_normal(paths: Paths, cfg: Stage4DofConfig, plot: bool = True) -> Non
             paths.figures, f"normal_run_seed{seeds[0]}_displacement_stacked")
 
 
-def cmd_gen_faults(paths: Paths, cfg: Stage4DofConfig, plot: bool = True) -> None:
+def cmd_gen_faults(paths: Paths, cfg: Stage4DofConfig, plot: bool = True,
+                   legacy: bool = False) -> None:
     """Structural faults (stiffness x{0.9,0.8,0.7,0.6} re-simulated) and sensor
     faults (noise/spikes/drift/bias on one DOF triplet of the nominal run)
     (02_generate_fault_datasets.py). All structural cases integrate in one batch.
+
+    ``legacy``: generate the reference's COMMITTED-tree regime instead
+    (stiff_red_{8,9,18,19,30,40}pct) — the mild 8/9/18/19 % cases are the
+    ones where the gate does not saturate and quality comparison is
+    meaningful (VERDICT r3 #5; FaultGenConfig.legacy_stiffness_scales).
     """
     f = cfg.faults
     force = smoothed_gaussian_force_np(cfg.system.t_total, cfg.system.dt, 4,
@@ -139,7 +145,9 @@ def cmd_gen_faults(paths: Paths, cfg: Stage4DofConfig, plot: bool = True) -> Non
     base_k = np.array(cfg.system.stiffness)
 
     # nominal + all structural scales in one vmapped batch
-    scales = np.array((1.0,) + tuple(f.stiffness_scales))
+    struct_scales = (f.legacy_stiffness_scales if legacy
+                     else f.stiffness_scales)
+    scales = np.array((1.0,) + tuple(struct_scales))
     S = len(scales)
     runs = np.asarray(simulate_runs(
         np.tile(base_m, (S, 1)), base_k[None] * scales[:, None],
@@ -666,6 +674,12 @@ def main(argv=None) -> None:
                          "models/attention.py) is a quality-parity family "
                          "that scores SLOWER (bandwidth-bound XLA path); "
                          "BENCHMARKS.md")
+    ap.add_argument("--legacy-faults", action="store_true",
+                    help="gen-faults: generate the reference's COMMITTED-tree "
+                         "structural regime (stiff_red_{8,9,18,19,30,40}pct) "
+                         "instead of the current script spec's 10-40%% — the "
+                         "mild cases are where gate quality is actually "
+                         "comparable (BENCHMARKS.md legacy-regime table)")
     args = ap.parse_args(argv)
 
     cfg = Stage4DofConfig()
@@ -676,7 +690,8 @@ def main(argv=None) -> None:
 
     steps = {
         "gen-normal": lambda: cmd_gen_normal(paths, cfg, plot),
-        "gen-faults": lambda: cmd_gen_faults(paths, cfg, plot),
+        "gen-faults": lambda: cmd_gen_faults(paths, cfg, plot,
+                                             legacy=args.legacy_faults),
         "make-splits": lambda: cmd_make_splits(paths, cfg),
         "train-vae": lambda: cmd_train_vae(paths, cfg, args.epochs,
                                            seed=args.seed,

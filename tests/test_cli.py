@@ -147,6 +147,30 @@ def test_openlab_test_hybrid_rejects_misaligned_features(tmp_path):
         cmd_test_hybrid(paths, OpenLabConfig())
 
 
+def test_stage4dof_gen_faults_legacy_regime(tmp_path):
+    """--legacy-faults regenerates the reference's COMMITTED-tree structural
+    regime (stiff_red_{8,9,18,19,30,40}pct, incl. the mild 8/9/18/19 % cases
+    an older reference script generation produced — SURVEY.md §6) instead of
+    the current script spec's 10-40%."""
+    from shm_tpu.cli import stage4dof
+
+    root = str(tmp_path / "legacy")
+    stage4dof.main(["gen-faults", "--root", root, "--legacy-faults",
+                    "--no-plots"])
+    struct = tmp_path / "legacy" / "raw" / "faults" / "structural_fault"
+    assert sorted(p.name for p in struct.iterdir()) == [
+        "stiff_red_18pct", "stiff_red_19pct", "stiff_red_30pct",
+        "stiff_red_40pct", "stiff_red_8pct", "stiff_red_9pct"]
+    # each case dir carries its CSV; the mild 8pct case must genuinely be a
+    # different simulation from the 9pct one (distinct stiffness scales)
+    a = np.loadtxt(struct / "stiff_red_8pct" / "stiff_red_8pct.csv",
+                   delimiter=",", skiprows=1)
+    b = np.loadtxt(struct / "stiff_red_9pct" / "stiff_red_9pct.csv",
+                   delimiter=",", skiprows=1)
+    assert a.shape == b.shape == (1001, 12)
+    assert np.abs(a - b).max() > 0
+
+
 @slow
 def test_stage4dof_chain(tmp_path):
     from shm_tpu.cli import stage4dof
