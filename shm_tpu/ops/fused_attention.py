@@ -69,7 +69,10 @@ from shm_tpu.ops.fused_vae import _round_up
 
 _HP = 128          # padded model width (lanes)
 _HEAD_DIM = 32     # the stack's fixed head size (models/attention.py)
-_LN_EPS = 1e-6     # flax LayerNorm default, used by every norm in the stack
+_LN_EPS = 1e-6       # flax LayerNorm default: the stack's INTERNAL norms
+_MODEL_LN_EPS = 1e-5  # torch LayerNorm eps: the model-level norm on the
+                      # pooled encoder state (torch-parity across cell
+                      # families — see models/vae.py and probe_vae_offset.py)
 
 
 def _pad2(a: jax.Array, rows: int, cols: int) -> jax.Array:
@@ -149,7 +152,7 @@ def _kernel(
     *refs,
     T: int, Tp: int, H: int, heads: int, num_layers: int,
     use_layernorm: bool, mlp_ratio: int, d_real: int, dtype, emulate: bool,
-    Bt: int, CW: int, nt_dot: bool,
+    Bt: int, CW: int, nt_dot: bool, stream: bool,
 ):
     f32 = jnp.float32
     M4 = mlp_ratio * H
@@ -200,15 +203,16 @@ def _kernel(
         dn = (((1,), (1,)), ((), ())) if nt else (((1,), (0,)), ((), ()))
         return jax.lax.dot_general(a, b, dn, preferred_element_type=f32)
 
-    def ln(x, scale_ref, bias_ref):
+    def ln(x, scale_ref, bias_ref, eps=_LN_EPS):
         """flax LayerNorm over the H REAL lanes of a [C, Hp] f32 block:
-        var = mean(x^2) - mean^2 clamped at 0, eps 1e-6; zero-padded
-        scale/bias re-zero the padded lanes."""
+        var = mean(x^2) - mean^2 clamped at 0; zero-padded scale/bias
+        re-zero the padded lanes. ``eps`` is 1e-6 (flax) for the stack's
+        internal norms, 1e-5 (torch) for the model-level norm."""
         xm = x * lane_mask
         mean = jnp.sum(xm, axis=1, keepdims=True) / H
         mean2 = jnp.sum(xm * xm, axis=1, keepdims=True) / H
         var = jnp.maximum(mean2 - mean * mean, 0.0)
-        y = (x - mean) * jax.lax.rsqrt(var + _LN_EPS)
+        y = (x - mean) * jax.lax.rsqrt(var + eps)
         return y * scale_ref[:] + bias_ref[:]
 
     C = CW * Tp
@@ -227,6 +231,12 @@ def _kernel(
         jax.lax.fori_loop(0, Bt, body, 0)
 
     pos_tile = jnp.concatenate([pos_ref[:]] * CW, axis=0)      # [C, Hp] f32
+
+    KB = 128                     # streaming key-block width (lanes)
+    nkb = Tp // KB
+    kcol = jax.lax.broadcasted_iota(jnp.int32, (1, KB), 1)
+    key_neg_blk = [jnp.where(jb * KB + kcol < T, 0.0, -1e30).astype(f32)
+                   for jb in range(nkb)]                       # [1, KB] each
 
     def block(layer_refs):
         (ln1s, ln1b, wqkv, bqkv, wo, bo, ln2s, ln2b, w1, b1, w2, b2) = layer_refs
@@ -257,7 +267,42 @@ def _kernel(
             v_cat = jnp.concatenate([v * hm for hm in head_masks], axis=0)
             o_ref[sl, :] = mm(p_cat, v_cat).astype(o_ref.dtype)
 
-        for_windows(attn_window)
+        def attn_window_stream(_, sl):
+            """Streaming (flash-style) attention: per head, scores are
+            consumed in [Tp, KB] key blocks with an online max/denominator,
+            so neither the packed [Tp, heads*Tp] score tensor nor the
+            [heads*Tp, Hp] K/V concatenations ever materialize (VERDICT r3
+            #4 — the score-tensor VMEM-traffic attack). Each head's PV
+            product lands in its own 32 output lanes via the v*mask_h lane
+            routing, so the per-head outputs sum directly."""
+            q = qkv_ref[sl, 0:_HP]
+            k = qkv_ref[sl, _HP:2 * _HP]
+            v = qkv_ref[sl, 2 * _HP:3 * _HP]
+            o_total = jnp.zeros((Tp, _HP), f32)
+            for h in range(heads):
+                kh = k * head_masks[h]                         # [Tp, Hp]
+                vh = v * head_masks[h]
+                m = jnp.full((Tp, 1), -1e30, f32)
+                l_sum = jnp.zeros((Tp, 1), f32)
+                o = jnp.zeros((Tp, _HP), f32)
+                for jb in range(nkb):
+                    kb = kh[jb * KB:(jb + 1) * KB, :]
+                    if nt_dot:
+                        s_blk = mm(q, kb, nt=True)             # [Tp, KB]
+                    else:
+                        s_blk = mm(q, jnp.swapaxes(kb, 0, 1))
+                    s_blk = s_blk + key_neg_blk[jb]
+                    m_new = jnp.maximum(
+                        m, jnp.max(s_blk, axis=1, keepdims=True))
+                    alpha = jnp.exp(m - m_new)
+                    p = jnp.exp(s_blk - m_new)
+                    l_sum = l_sum * alpha + jnp.sum(p, axis=1, keepdims=True)
+                    o = o * alpha + mm(p, vh[jb * KB:(jb + 1) * KB, :])
+                    m = m_new
+                o_total = o_total + o / l_sum
+            o_ref[sl, :] = o_total.astype(o_ref.dtype)
+
+        for_windows(attn_window_stream if stream else attn_window)
 
         def attn_post(sl):
             xo = mm(o_ref[sl, :], wo[:]) + bo[:]
@@ -291,7 +336,7 @@ def _kernel(
     # ---- latent heads -> decoder init token ----
     pooled = pooled_ref[:].astype(f32)                         # [Bt, Hp]
     if use_layernorm:
-        pooled = ln(pooled, vae_ls, vae_lb)
+        pooled = ln(pooled, vae_ls, vae_lb, eps=_MODEL_LN_EPS)
     mu = mm(pooled, mu_w[:]) + mu_b[:]                         # [Bt, Zp]
     h0 = jnp.tanh(mm(mu, z2h_w[:]) + z2h_b[:])                 # [Bt, Hp]
     pooled_ref[:] = mm(h0, dec_in_w[:]) + dec_in_b[:]          # reuse as tok0
@@ -321,7 +366,7 @@ def _kernel(
     jax.jit,
     static_argnames=("num_layers", "use_layernorm", "batch_tile", "dtype",
                      "io_dtype", "with_residual", "interpret", "emulate",
-                     "mlp_ratio", "nt_dot"),
+                     "mlp_ratio", "nt_dot", "stream"),
 )
 def fused_attention_gate(
     params: Dict,
@@ -337,13 +382,18 @@ def fused_attention_gate(
     emulate: bool = False,
     mlp_ratio: int = 4,
     nt_dot: bool = True,
+    stream: bool = False,
 ) -> Tuple[jax.Array, jax.Array | None]:
     """Fused deterministic attention-VAE pass: (mse [N], residual [N,T,D] | None).
 
     Semantics match ``TemporalVAE(cell="attention").apply(..., sample=False)``
     plus the residual/MSE epilogue. ``dtype`` sets matmul-input and stream
     precision (f32 accumulation and softmax everywhere); ``io_dtype`` the
-    window/residual HBM precision (defaults to ``Z.dtype``). Supported
+    window/residual HBM precision (defaults to ``Z.dtype``). ``stream``
+    switches the attention inner loop to the flash-style online-softmax
+    variant (per-head [Tp, 128] key blocks with running max/denominator; no
+    packed score tensor or K/V concatenations) — mathematically identical
+    softmax, float-level differences only. Supported
     presets: hidden_dim a multiple of 32 up to 128 with the stack's default
     head packing (head_dim 32) — i.e. every ``VAEConfig(cell="attention")``
     preset (1DOF H=32, openLAB H=64, 4DOF H=128).
@@ -385,7 +435,8 @@ def fused_attention_gate(
     kernel = functools.partial(
         _kernel, T=T, Tp=Tp, H=H, heads=heads, num_layers=num_layers,
         use_layernorm=use_layernorm, mlp_ratio=mlp_ratio, d_real=D,
-        dtype=dtype, emulate=emulate, Bt=Bt, CW=CW, nt_dot=nt_dot)
+        dtype=dtype, emulate=emulate, Bt=Bt, CW=CW, nt_dot=nt_dot,
+        stream=stream)
 
     mse_spec = pl.BlockSpec((Bt, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
     mse_shape = jax.ShapeDtypeStruct((Np, 1), jnp.float32)

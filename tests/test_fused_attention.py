@@ -72,6 +72,43 @@ def test_fused_attention_nt_dot_fallback_matches(kernel_setup):
                                rtol=1e-6, atol=1e-7)
 
 
+def test_fused_attention_stream_matches_flax(kernel_setup):
+    """The streaming (flash-style online-softmax) inner loop is an exact
+    mathematical rewrite of the packed-score softmax — it must match the
+    flax model to the same tolerance as the packed path, residual included."""
+    from shm_tpu.ops import fused_attention_gate
+
+    model, params, Z = kernel_setup
+    mse_ref, resid_ref = _ref(model, params, Z)
+    mse, resid = fused_attention_gate(params, Z, dtype=jnp.float32,
+                                      interpret=True, batch_tile=8,
+                                      stream=True)
+    np.testing.assert_allclose(np.asarray(mse), mse_ref, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(resid), resid_ref, atol=1e-5)
+
+
+def test_fused_attention_stream_multiblock_keys():
+    """T > 128 exercises the ONLINE part of the online softmax (2 key blocks
+    per head: running max/denominator rescaling across blocks) — the
+    openLAB T=200 regime the streaming variant exists for."""
+    from shm_tpu.ops import fused_attention_gate
+
+    model = TemporalVAE(input_dim=3, latent_dim=8, hidden_dim=64, num_layers=1,
+                        dropout=0.0, use_layernorm=True, cell="attention")
+    Z = jax.random.normal(jax.random.PRNGKey(6), (6, 200, 3))
+    params = model.init({"params": jax.random.PRNGKey(7)}, Z[:2])["params"]
+    mse_ref, resid_ref = _ref(model, params, Z)
+    kw = dict(num_layers=1, use_layernorm=True, dtype=jnp.float32,
+              interpret=True, batch_tile=3)
+    mse_s, resid_s = fused_attention_gate(params, Z, stream=True, **kw)
+    np.testing.assert_allclose(np.asarray(mse_s), mse_ref, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(resid_s), resid_ref, atol=1e-5)
+    # and the two kernel paths agree with each other tightly
+    mse_p, _ = fused_attention_gate(params, Z, stream=False, **kw)
+    np.testing.assert_allclose(np.asarray(mse_s), np.asarray(mse_p),
+                               rtol=1e-6, atol=1e-7)
+
+
 def test_fused_attention_openlab_shape():
     """openLAB-preset shape: H=64 (2 real heads + 2 phantom-zero lane
     groups), 1 layer, VAE LayerNorm on."""
