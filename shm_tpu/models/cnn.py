@@ -145,7 +145,10 @@ class CNNOpenLab(nn.Module):
             else:
                 raise ValueError(f"unknown conv_impl {self.conv_impl!r} "
                                  "(expected 'im2col' or 'lax')")
-            x = nn.GroupNorm(num_groups=8, dtype=self.dtype, name=f"{name}_gn")(x)
+            # epsilon: torch GroupNorm's 1e-5, not flax's 1e-6 default
+            # (same parity rule as the VAE's LayerNorm — models/vae.py)
+            x = nn.GroupNorm(num_groups=8, epsilon=1e-5, dtype=self.dtype,
+                             name=f"{name}_gn")(x)
             return nn.silu(x)
 
         x = x.astype(self.dtype)

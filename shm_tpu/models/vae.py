@@ -81,7 +81,13 @@ class TemporalVAE(nn.Module):
         self.encoder = Stack(H, self.num_layers, self.dropout, self.dtype,
                              name="encoder_lstm")
         if self.use_layernorm:
-            self.layer_norm = nn.LayerNorm(dtype=self.dtype)
+            # epsilon MUST be torch's 1e-5 (not flax's 1e-6 default): the
+            # encoder's final hidden state has variance ~1.7e-3 at init, so
+            # the eps difference shifts the normalized output by ~1e-2 and
+            # breaks gradient parity with the reference at the 0.8% level
+            # (measured in tools/probe_vae_offset.py; the r3 VERDICT's
+            # "systematic 4DOF val-loss offset" investigation)
+            self.layer_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
         self.fc_mu = nn.Dense(Z, kernel_init=torch_linear_init(H),
                               bias_init=torch_linear_init(H), dtype=self.dtype)
         self.fc_logvar = nn.Dense(Z, kernel_init=torch_linear_init(H),

@@ -155,7 +155,7 @@ def _kernel(
     if use_layernorm:
         mean = jnp.mean(h_last, axis=0, keepdims=True)
         var = jnp.mean((h_last - mean) ** 2, axis=0, keepdims=True)
-        h_last = (h_last - mean) * jax.lax.rsqrt(var + 1e-6) * ln_scale[:] + ln_bias[:]
+        h_last = (h_last - mean) * jax.lax.rsqrt(var + 1e-5) * ln_scale[:] + ln_bias[:]
     mu = mm(mu_w[:], h_last) + mu_b[:]
     dec_in = jnp.tanh(mm(z2h_w[:], mu) + z2h_b[:])              # [H, Bt]
 

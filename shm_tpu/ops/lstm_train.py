@@ -627,7 +627,7 @@ def vae_train_forward(params, Z, eps, dm_enc, dm_dec, *,
     if use_layernorm:
         mean = jnp.mean(h_last, axis=0, keepdims=True)
         var = jnp.mean((h_last - mean) ** 2, axis=0, keepdims=True)
-        h_last = ((h_last - mean) * jax.lax.rsqrt(var + 1e-6)
+        h_last = ((h_last - mean) * jax.lax.rsqrt(var + 1e-5)
                   * w["ln_scale"] + w["ln_bias"])
     mu = w["mu_w"] @ h_last + w["mu_b"]                    # [Zdim, B]
     logvar = lv_w @ h_last + lv_b
