@@ -140,34 +140,57 @@ DEGRADED_ENV = "SHM_TPU_BENCH_DEGRADED"
 
 
 def _tpu_responsive(timeout_s: float = 300.0) -> bool:
-    """Bounded health probe of the default (TPU) backend.
+    """One bounded health probe of the default (TPU) backend, in a fresh
+    subprocess.
 
     The remote-tunneled TPU can be DOWN outright (observed round 3): backend
     init raises UNAVAILABLE, or the FIRST dispatch hangs >20 min with ~0 CPU —
-    an unbounded bench run would hang instead of printing its JSON line. Probe
-    with a tiny dispatch + host readback in a daemon thread (same pattern as
-    __graft_entry__.dryrun_multichip); on timeout/error the caller falls back
-    to the degraded CPU run. Generous timeout: on slow-compiler days even a
-    tiny reduce can take minutes through the remote compile tunnel.
+    an unbounded bench run would hang instead of printing its JSON line. The
+    probe runs in a SUBPROCESS (not a daemon thread) so a hung attempt never
+    poisons this process's jax client and retries each get a fresh client.
+    Generous timeout: on slow-compiler days even a tiny reduce can take
+    minutes through the remote compile tunnel.
     """
-    import threading
+    import subprocess
+    import sys
 
-    result = {"ok": False}
+    code = ("import jax.numpy as jnp; "
+            "print(float(jnp.ones((8, 128)).sum()))")
+    try:
+        proc = subprocess.run([sys.executable, "-c", code],
+                              timeout=timeout_s, capture_output=True)
+        return proc.returncode == 0 and b"1024" in proc.stdout
+    except subprocess.TimeoutExpired:
+        return False
 
-    def _probe():
-        try:
-            import jax
-            import jax.numpy as jnp
 
-            float(jnp.ones((8, 128)).sum())
-            result["ok"] = True
-        except Exception:
-            result["ok"] = False
+def _tpu_responsive_with_retry() -> bool:
+    """Retry the bounded tunnel probe across a budget before giving up.
 
-    t = threading.Thread(target=_probe, daemon=True)
-    t.start()
-    t.join(timeout=timeout_s)
-    return result["ok"] and not t.is_alive()
+    Round 3's lesson (VERDICT.md): the tunnel outage that degraded
+    BENCH_r03 was transient, but bench.py gave up after ONE probe — so the
+    recorded artifact was a CPU fallback even though the chip came back.
+    Re-probe every ~60 s until SHM_TPU_BENCH_PROBE_BUDGET_S (default 1800 s)
+    is exhausted; only then degrade. A live tunnel passes the first probe in
+    seconds, so the healthy path pays nothing for this.
+    """
+    budget_s = float(os.environ.get("SHM_TPU_BENCH_PROBE_BUDGET_S", "1800"))
+    deadline = time.monotonic() + budget_s
+    attempt = 0
+    while True:
+        attempt += 1
+        per_probe = min(300.0, max(30.0, deadline - time.monotonic()))
+        if _tpu_responsive(per_probe):
+            if attempt > 1:
+                print(f"[bench] TPU tunnel came back on probe {attempt}",
+                      flush=True)
+            return True
+        if time.monotonic() + 60.0 >= deadline:
+            return False
+        print(f"[bench] TPU probe {attempt} failed; retrying in 60 s "
+              f"({deadline - time.monotonic():.0f} s of budget left)",
+              flush=True)
+        time.sleep(60.0)
 
 
 def _rerun_on_cpu_degraded() -> int:
@@ -380,9 +403,10 @@ def main() -> None:
     degraded = os.environ.get(DEGRADED_ENV) == "1"
     if not degraded and os.environ.get("JAX_PLATFORMS", "").lower() != "cpu":
         # the default backend here is the remote-tunneled TPU; a dead tunnel
-        # would hang the first dispatch indefinitely — probe (bounded), and on
+        # would hang the first dispatch indefinitely — probe (bounded, with
+        # retries across a budget since outages are often transient), and on
         # failure produce the JSON line from a fresh CPU subprocess instead
-        if not _tpu_responsive():
+        if not _tpu_responsive_with_retry():
             raise SystemExit(_rerun_on_cpu_degraded())
 
     import jax
@@ -452,13 +476,13 @@ def main() -> None:
 
     fpw = hybrid_flops_per_window()
     dev_rate = rates["device_side"]
-    print(json.dumps({
+    line = {
         "metric": "4dof_hybrid_inference_windows_per_sec",
         "value": round(rates["end_to_end"], 2),
         "unit": "windows/sec/chip",
         "platform": jax.default_backend(),
-        # set when the TPU tunnel failed the bounded health probe and this
-        # line was produced by the XLA-CPU fallback — NOT a TPU measurement
+        # set when the TPU tunnel failed the bounded retried health probe and
+        # this line was produced by the XLA-CPU fallback — NOT a TPU number
         "degraded": "tpu_tunnel_down_cpu_fallback" if degraded else None,
         "vs_baseline": round(vs, 2) if vs is not None else None,
         "baseline_windows_per_sec_pinned": pinned,
@@ -476,7 +500,17 @@ def main() -> None:
         # parity — BENCHMARKS.md); device-side, same 4x workload
         "mingru_device_side_windows_per_sec": (
             round(mingru_dev, 2) if mingru_dev is not None else None),
-    }))
+    }
+    if degraded:
+        # a fallback must be UNMISTAKABLE: null every headline key a consumer
+        # might read without checking "degraded" (round 3's artifact published
+        # a 0.87x CPU rate in the same keys a 400x TPU run uses — VERDICT.md);
+        # the CPU measurement moves to explicitly-degraded keys instead
+        line["degraded_cpu_windows_per_sec"] = line["value"]
+        line["degraded_cpu_vs_baseline"] = line["vs_baseline"]
+        for k in ("value", "vs_baseline", "vs_baseline_live", "mfu"):
+            line[k] = None
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":
