@@ -75,6 +75,14 @@ _MODEL_LN_EPS = 1e-5  # torch LayerNorm eps: the model-level norm on the
                       # families — see models/vae.py and probe_vae_offset.py)
 
 
+def auto_stream(Tp: int) -> bool:
+    """Default attention-inner-loop policy: streaming online-softmax for
+    multi-key-block shapes (Tp > 128; measured +7% at the openLAB T=200
+    shape), packed softmax otherwise (measured faster at T<=128, where a
+    single key block makes online rescaling pure overhead)."""
+    return Tp > 128
+
+
 def _pad2(a: jax.Array, rows: int, cols: int) -> jax.Array:
     return jnp.pad(a, ((0, rows - a.shape[0]), (0, cols - a.shape[1])))
 
@@ -382,7 +390,7 @@ def fused_attention_gate(
     emulate: bool = False,
     mlp_ratio: int = 4,
     nt_dot: bool = True,
-    stream: bool = False,
+    stream: bool | None = None,
 ) -> Tuple[jax.Array, jax.Array | None]:
     """Fused deterministic attention-VAE pass: (mse [N], residual [N,T,D] | None).
 
@@ -393,7 +401,13 @@ def fused_attention_gate(
     switches the attention inner loop to the flash-style online-softmax
     variant (per-head [Tp, 128] key blocks with running max/denominator; no
     packed score tensor or K/V concatenations) — mathematically identical
-    softmax, float-level differences only. Supported
+    softmax, float-level differences only. Default ``None`` auto-selects by
+    shape: streaming ON for T > 128 (multiple key blocks — measured +7%
+    gate-only at the openLAB T=200 shape on trained artifacts, 123.4k vs
+    115.4k win/s at bt=16), OFF for T <= 128 where a single key block
+    covers all keys and the online rescaling is pure overhead (measured
+    −4..12% at the 4DOF T=100 shape; 100% decision agreement both ways —
+    tools/probe_attention_stream.py, BENCHMARKS.md). Supported
     presets: hidden_dim a multiple of 32 up to 128 with the stack's default
     head packing (head_dim 32) — i.e. every ``VAEConfig(cell="attention")``
     preset (1DOF H=32, openLAB H=64, 4DOF H=128).
@@ -412,6 +426,8 @@ def fused_attention_gate(
     if D > _HP:
         raise ValueError(f"feature width {D} > {_HP} unsupported")
     Tp = _round_up(T, 128)
+    if stream is None:
+        stream = auto_stream(Tp)
     io_dtype = io_dtype or Z.dtype
     if not interpret:
         if batch_tile % 8:

@@ -109,6 +109,15 @@ def test_fused_attention_stream_multiblock_keys():
                                rtol=1e-6, atol=1e-7)
 
 
+def test_auto_stream_policy():
+    """Default inner-loop selection (measured on chip, BENCHMARKS.md):
+    streaming for multi-key-block shapes only."""
+    from shm_tpu.ops.fused_attention import auto_stream
+
+    assert auto_stream(128) is False      # 4DOF T=100 -> Tp=128
+    assert auto_stream(256) is True       # openLAB T=200 -> Tp=256
+
+
 def test_fused_attention_openlab_shape():
     """openLAB-preset shape: H=64 (2 real heads + 2 phantom-zero lane
     groups), 1 layer, VAE LayerNorm on."""
