@@ -29,7 +29,40 @@ def make_data(seed=0, n_tr=3010, n_va=2010, T=100, D=12):
             rng.normal(size=(n_va, T, D)).astype(np.float32))
 
 
-def run_mode(mode: str, epochs: int, warm_epochs: int = 2) -> dict:
+V5E_BF16_PEAK_FLOPS = 197e12
+
+
+def vae_fwd_flops_per_window(T=100, D=12, H=128, Z=16) -> float:
+    """Analytic matmul FLOPs of one TRAINING forward per window (sampled
+    path: mu AND logvar heads; elementwise/loss excluded). Mirrors
+    bench.py::hybrid_flops_per_window's VAE half + the logvar head."""
+    enc = T * (2 * 4 * H * (D + H) + 2 * 4 * H * 2 * H)      # 2 LSTM layers
+    heads = 2 * (2 * Z * H) + 2 * H * Z                      # mu + logvar + z2h
+    dec = 2 * 4 * H * H + T * (2 * 4 * H * H + 2 * 4 * H * 2 * H
+                               + 2 * D * H)                  # in + scan + out
+    return float(enc + heads + dec)
+
+
+def train_epoch_flops(n_tr=3010, n_va=2010, batch=256,
+                      T=100, D=12, H=128, Z=16) -> float:
+    """Analytic matmul FLOPs of ONE epoch of the 4DOF recipe: fwd+bwd on
+    every (padded) train window + a sampled forward on every (padded) val
+    window. Backward of a matmul chain costs 2x its forward (one matmul for
+    the input grad + one for the weight grad per forward matmul), so the
+    train step is 3x forward. Padded counts: the compute really runs on
+    batch-padded stacks (_batch_plan pads the last batch)."""
+    pad = lambda n: -(-n // batch) * batch
+    return 3.0 * vae_fwd_flops_per_window(T, D, H, Z) * pad(n_tr) \
+        + vae_fwd_flops_per_window(T, D, H, Z) * pad(n_va)
+
+
+def run_mode(mode: str, epochs: int, warm_epochs: int | None = None) -> dict:
+    # warm with the SAME epoch count: the fused whole-run program is
+    # compiled PER epoch count, so a shorter warmup would leave the timed
+    # run paying a fresh multi-epoch-scan compile (measured: 15.4 s vs
+    # 2.7 s for fused epochs=10 with mismatched vs matched warmup)
+    if warm_epochs is None:
+        warm_epochs = epochs
     import jax
     import jax.numpy as jnp
 
@@ -60,13 +93,68 @@ def run_mode(mode: str, epochs: int, warm_epochs: int = 2) -> dict:
     t0 = time.perf_counter()
     res = train_vae(model, Ztr, Zva, tc, **kw)
     total = time.perf_counter() - t0
+    sec_per_epoch = total / epochs
+    # train-side MFU (VERDICT r3 #8): analytic fwd+bwd matmul FLOPs of one
+    # epoch over the measured wall clock, vs the v5e bf16 peak
+    epoch_flops = train_epoch_flops()
     out = {
         "mode": mode,
         "epochs": epochs,
-        "sec_per_epoch": round(total / epochs, 4),
+        "sec_per_epoch": round(sec_per_epoch, 4),
         "total_sec": round(total, 3),
         "warmup_sec": round(warm_s, 3),
         "final_val": round(float(res.history["val_total"][-1]), 5),
+        "epoch_train_flops": epoch_flops,
+        "train_mfu": round(epoch_flops / sec_per_epoch
+                           / V5E_BF16_PEAK_FLOPS, 5),
+    }
+    print(json.dumps(out), flush=True)
+    return out
+
+
+def run_marginal(mode: str, e_lo: int = 10, e_hi: int = 50) -> dict:
+    """Marginal per-epoch rate of the fused whole-run program: every
+    train_vae call retraces (fresh local jit wrappers), so a single timed
+    call measures compile+run — the honest MARGINAL epoch cost is
+    (t(e_hi) - t(e_lo)) / (e_hi - e_lo), compiles cancelling (the scan
+    program's compile time is epoch-count-independent). This is the number
+    that answers 'what does one more epoch cost on device'."""
+    import time
+
+    import jax  # noqa: F401  (ensure backend up before timing)
+
+    from shm_tpu.config import TrainConfig
+    from shm_tpu.models import vae_from_config
+    from shm_tpu.train.vae import train_vae
+    from shm_tpu.config import Stage4DofConfig
+
+    model = vae_from_config(Stage4DofConfig().vae)
+    Ztr, Zva = make_data()
+    kw = {}
+    if mode == "pallas" or mode == "fused_pallas":
+        kw["use_pallas_kernel"] = True
+    if mode.startswith("fused"):
+        kw["fused_epochs"] = True
+
+    def wall(epochs):
+        tc = TrainConfig(batch_size=256, lr=1e-3, weight_decay=1e-5,
+                         grad_clip=2.0, epochs=epochs, seed=42)
+        t0 = time.perf_counter()
+        train_vae(model, Ztr, Zva, tc, **kw)
+        return time.perf_counter() - t0
+
+    wall(e_lo)                      # absorb first-ever compiles
+    t_lo, t_hi = wall(e_lo), wall(e_hi)
+    marg = (t_hi - t_lo) / (e_hi - e_lo)
+    epoch_flops = train_epoch_flops()
+    out = {
+        "mode": f"{mode}-marginal",
+        "epochs": [e_lo, e_hi],
+        "wall": [round(t_lo, 3), round(t_hi, 3)],
+        "marginal_sec_per_epoch": round(marg, 4),
+        "epoch_train_flops": epoch_flops,
+        "marginal_train_mfu": round(epoch_flops / marg
+                                    / V5E_BF16_PEAK_FLOPS, 5),
     }
     print(json.dumps(out), flush=True)
     return out
@@ -75,14 +163,20 @@ def run_mode(mode: str, epochs: int, warm_epochs: int = 2) -> dict:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("modes", nargs="*", default=["xla"],
-                    help="xla | pallas | fused | all")
+                    help="xla | pallas | fused | fused_pallas | all")
     ap.add_argument("--epochs", type=int, default=10)
+    ap.add_argument("--marginal", action="store_true",
+                    help="difference two epoch counts to cancel the "
+                         "per-call retrace/compile of the fused program")
     args = ap.parse_args()
     modes = args.modes or ["xla"]
     if modes == ["all"]:
-        modes = ["xla", "pallas", "fused"]
+        modes = ["xla", "pallas", "fused", "fused_pallas"]
     for m in modes:
-        run_mode(m, args.epochs)
+        if args.marginal:
+            run_marginal(m)
+        else:
+            run_mode(m, args.epochs)
 
 
 if __name__ == "__main__":
