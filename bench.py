@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -182,22 +183,24 @@ def _tpu_responsive_with_retry() -> bool:
         per_probe = min(300.0, max(30.0, deadline - time.monotonic()))
         if _tpu_responsive(per_probe):
             if attempt > 1:
+                # stderr: stdout is contractually ONE JSON line
                 print(f"[bench] TPU tunnel came back on probe {attempt}",
-                      flush=True)
+                      file=sys.stderr, flush=True)
             return True
         if time.monotonic() + 60.0 >= deadline:
             return False
         print(f"[bench] TPU probe {attempt} failed; retrying in 60 s "
               f"({deadline - time.monotonic():.0f} s of budget left)",
-              flush=True)
+              file=sys.stderr, flush=True)
         time.sleep(60.0)
 
 
 def _rerun_on_cpu_degraded() -> int:
-    """Re-exec bench.py in a fresh subprocess pinned to XLA-CPU (the hung TPU
-    client lives in THIS process's daemon thread, so in-process fallback is
-    not possible) and relay its JSON line. PYTHONPATH is cleared to skip the
-    axon sitecustomize that pins the platform."""
+    """Re-exec bench.py in a fresh subprocess pinned to XLA-CPU and relay
+    its JSON line. A subprocess (not in-process fallback) because THIS
+    interpreter was started under the axon sitecustomize, which pre-imports
+    jax pinned to the TPU platform — the fresh process clears PYTHONPATH to
+    skip it and sets JAX_PLATFORMS=cpu before any jax import."""
     import subprocess
     import sys
 

@@ -155,8 +155,21 @@ def cmd_gen_faults(paths: Paths, cfg: Stage4DofConfig, plot: bool = True,
         cfg.system))
     nominal = runs[0]
 
-    for scale, run in zip(scales[1:], runs[1:]):
-        label = f"stiff_red_{int(round((1.0 - scale) * 100))}pct"
+    labels = [f"stiff_red_{int(round((1.0 - s) * 100))}pct"
+              for s in scales[1:]]
+    # a root can be re-generated under the OTHER regime (--legacy-faults vs
+    # the default); stale case dirs would silently mix regimes in
+    # make-splits' rglob and corrupt every downstream metric — remove them
+    if paths.raw_struct.exists():
+        import shutil
+
+        for d in sorted(paths.raw_struct.iterdir()):
+            if d.is_dir() and d.name.startswith("stiff_red_") \
+                    and d.name not in labels:
+                shutil.rmtree(d)
+                print(f"[OK] removed stale structural case from the other "
+                      f"regime: {d.name}")
+    for label, run in zip(labels, runs[1:]):
         _write_run_csv(run, paths.raw_struct / label / f"{label}.csv")
         print(f"[OK] structural fault saved: {label}")
 

@@ -95,10 +95,20 @@ def _split_lines(text: str, n_header: int) -> Tuple[List[str], str]:
 
     The remainder keeps its own first line as the column row that
     ``header=0`` consumes — matching ``skiprows=n_header`` semantics without
-    re-reading the file from disk.
+    re-reading the file from disk. Lines are delimited by ``\\n`` ONLY (like
+    pandas' row counting): ``str.splitlines`` would also break on \\v, \\f,
+    \\x1c-\\x1e and lone \\r — all identity-decoded by cp1252 and possible
+    inside a free-text Comment field — and silently shift the header/table
+    boundary.
     """
-    lines = text.splitlines(keepends=True)
-    return [ln.rstrip("\r\n") for ln in lines[:n_header]], "".join(lines[n_header:])
+    idx = 0
+    for _ in range(n_header):
+        j = text.find("\n", idx)
+        if j < 0:
+            return [ln.rstrip("\r") for ln in text.split("\n")], ""
+        idx = j + 1
+    header = [ln.rstrip("\r") for ln in text[:idx].split("\n")[:n_header]]
+    return header, text[idx:]
 
 
 def run_id_from_path(file_path: str | os.PathLike) -> str:

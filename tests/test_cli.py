@@ -158,9 +158,18 @@ def test_stage4dof_gen_faults_legacy_regime(tmp_path):
     stage4dof.main(["gen-faults", "--root", root, "--legacy-faults",
                     "--no-plots"])
     struct = tmp_path / "legacy" / "raw" / "faults" / "structural_fault"
+    legacy_dirs = ["stiff_red_18pct", "stiff_red_19pct", "stiff_red_30pct",
+                   "stiff_red_40pct", "stiff_red_8pct", "stiff_red_9pct"]
+    assert sorted(p.name for p in struct.iterdir()) == legacy_dirs
+    # regenerating under the OTHER regime must remove the stale cases —
+    # otherwise make-splits' rglob silently mixes the two regimes
+    stage4dof.main(["gen-faults", "--root", root, "--no-plots"])
     assert sorted(p.name for p in struct.iterdir()) == [
-        "stiff_red_18pct", "stiff_red_19pct", "stiff_red_30pct",
-        "stiff_red_40pct", "stiff_red_8pct", "stiff_red_9pct"]
+        "stiff_red_10pct", "stiff_red_20pct", "stiff_red_30pct",
+        "stiff_red_40pct"]
+    stage4dof.main(["gen-faults", "--root", root, "--legacy-faults",
+                    "--no-plots"])
+    assert sorted(p.name for p in struct.iterdir()) == legacy_dirs
     # each case dir carries its CSV; the mild 8pct case must genuinely be a
     # different simulation from the 9pct one (distinct stiffness scales)
     a = np.loadtxt(struct / "stiff_red_8pct" / "stiff_red_8pct.csv",

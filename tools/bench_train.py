@@ -29,18 +29,18 @@ def make_data(seed=0, n_tr=3010, n_va=2010, T=100, D=12):
             rng.normal(size=(n_va, T, D)).astype(np.float32))
 
 
-V5E_BF16_PEAK_FLOPS = 197e12
+from bench import V5E_BF16_PEAK_FLOPS, cnn_flops_per_window, \
+    hybrid_flops_per_window  # noqa: E402  (single source for peak + FLOPs)
 
 
 def vae_fwd_flops_per_window(T=100, D=12, H=128, Z=16) -> float:
     """Analytic matmul FLOPs of one TRAINING forward per window (sampled
-    path: mu AND logvar heads; elementwise/loss excluded). Mirrors
-    bench.py::hybrid_flops_per_window's VAE half + the logvar head."""
-    enc = T * (2 * 4 * H * (D + H) + 2 * 4 * H * 2 * H)      # 2 LSTM layers
-    heads = 2 * (2 * Z * H) + 2 * H * Z                      # mu + logvar + z2h
-    dec = 2 * 4 * H * H + T * (2 * 4 * H * H + 2 * 4 * H * 2 * H
-                               + 2 * D * H)                  # in + scan + out
-    return float(enc + heads + dec)
+    path: mu AND logvar heads; elementwise/loss excluded): bench.py's
+    hybrid accounting minus its CNN half, plus the logvar head (inference
+    decodes z = mu and never evaluates fc_logvar)."""
+    logvar_head = 2 * Z * H
+    return (hybrid_flops_per_window(T, D, H, Z)
+            - cnn_flops_per_window(T, D) + logvar_head)
 
 
 def train_epoch_flops(n_tr=3010, n_va=2010, batch=256,
@@ -54,6 +54,14 @@ def train_epoch_flops(n_tr=3010, n_va=2010, batch=256,
     pad = lambda n: -(-n // batch) * batch
     return 3.0 * vae_fwd_flops_per_window(T, D, H, Z) * pad(n_tr) \
         + vae_fwd_flops_per_window(T, D, H, Z) * pad(n_va)
+
+
+MODE_KWARGS = {
+    "xla": {},
+    "pallas": {"use_pallas_kernel": True},
+    "fused": {"fused_epochs": True},
+    "fused_pallas": {"fused_epochs": True, "use_pallas_kernel": True},
+}
 
 
 def run_mode(mode: str, epochs: int, warm_epochs: int | None = None) -> dict:
@@ -73,13 +81,7 @@ def run_mode(mode: str, epochs: int, warm_epochs: int | None = None) -> dict:
     cfg4 = Stage4DofConfig()
     model = vae_from_config(cfg4.vae)
     Ztr, Zva = make_data()
-    kw = {}
-    if mode == "pallas":
-        kw = dict(use_pallas_kernel=True)
-    elif mode == "fused":
-        kw = dict(fused_epochs=True)
-    elif mode == "fused_pallas":
-        kw = dict(fused_epochs=True, use_pallas_kernel=True)
+    kw = MODE_KWARGS[mode]
 
     # warmup run: pays all compiles
     tc = TrainConfig(batch_size=256, lr=1e-3, weight_decay=1e-5, grad_clip=2.0,
@@ -119,22 +121,13 @@ def run_marginal(mode: str, e_lo: int = 10, e_hi: int = 50) -> dict:
     (t(e_hi) - t(e_lo)) / (e_hi - e_lo), compiles cancelling (the scan
     program's compile time is epoch-count-independent). This is the number
     that answers 'what does one more epoch cost on device'."""
-    import time
-
-    import jax  # noqa: F401  (ensure backend up before timing)
-
-    from shm_tpu.config import TrainConfig
+    from shm_tpu.config import Stage4DofConfig, TrainConfig
     from shm_tpu.models import vae_from_config
     from shm_tpu.train.vae import train_vae
-    from shm_tpu.config import Stage4DofConfig
 
     model = vae_from_config(Stage4DofConfig().vae)
     Ztr, Zva = make_data()
-    kw = {}
-    if mode == "pallas" or mode == "fused_pallas":
-        kw["use_pallas_kernel"] = True
-    if mode.startswith("fused"):
-        kw["fused_epochs"] = True
+    kw = MODE_KWARGS[mode]
 
     def wall(epochs):
         tc = TrainConfig(batch_size=256, lr=1e-3, weight_decay=1e-5,

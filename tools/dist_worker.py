@@ -14,6 +14,9 @@ Failure-injection flags (the worker-death characterization tests):
   --die-after-step   run the first train step normally, then _exit(9)
                      without shutdown — simulates a steady-state crash;
                      surviving ranks attempt a second step
+  --two-steps        run a SECOND train step after the first (the
+                     survivor's collective in the steady-state-death test:
+                     pair rank 0 --two-steps with rank 1 --die-after-step)
 """
 
 import sys
