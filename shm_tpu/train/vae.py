@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import math
 import time
+from collections import OrderedDict
 from dataclasses import dataclass, field
 from functools import partial
 from typing import Any, Dict, Optional, Tuple
@@ -69,136 +70,42 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     return optax.chain(*parts)
 
 
-def _batch_plan(N: int, bs: int) -> Tuple[int, int]:
-    nb = -(-N // bs)
-    pad = nb * bs - N
-    return nb, pad
+def _build_train_programs(model, N: int, Nva: int, T: int, D: int, in_dtype,
+                          cfg: TrainConfig, val_sample: bool,
+                          use_pallas_kernel: bool, kernel_dtype,
+                          kernel_interpret: bool, mesh, mesh_axis: str):
+    """Construct every jitted program one ``train_vae`` configuration needs.
 
+    Hoisted out of ``train_vae`` (round 4) so repeat calls with the same
+    (model, shapes, optimizer, flags) REUSE the compiled programs:
+    ``train_vae`` used to define fresh closures per call, so every call
+    retraced and recompiled — a multi-seed study paid the 10–25 s remote
+    whole-run compile per seed (measured in tools/bench_train.py; the seed
+    and all per-epoch keys flow through ARGUMENTS, so the programs are
+    seed-independent). Cached via :func:`_train_programs` when ``mesh`` is
+    None; mesh programs are built fresh (Mesh objects are session state,
+    not worth keying).
 
-@dataclass
-class VAETrainResult:
-    params: Any                      # best-val params
-    last_params: Any
-    history: Dict[str, list] = field(default_factory=dict)
-    best_val: float = float("inf")
-    best_epoch: int = -1
-    seconds: float = 0.0
-
-
-def train_vae(
-    model,
-    Ztr: jax.Array,
-    Zva: jax.Array,
-    cfg: TrainConfig,
-    *,
-    init_params: Optional[Any] = None,
-    val_sample: bool = True,
-    log_every: int = 0,
-    checkpoint_dir: Optional[str] = None,
-    checkpoint_every: int = 0,
-    resume: bool = True,
-    fused_epochs: Optional[bool] = None,
-    epoch_chunk: Optional[int] = None,
-    use_pallas_kernel: bool = False,
-    kernel_dtype=jnp.bfloat16,
-    kernel_interpret: bool = False,
-    mesh=None,
-    mesh_axis: str = "data",
-) -> VAETrainResult:
-    """Train a TemporalVAE on normalized windows; returns best-val params + history.
-
-    ``fused_epochs``: run the WHOLE multi-epoch training as one jitted
-    ``lax.scan`` over epochs, with best-val selection on device — one dispatch
-    + one host fetch for the entire run. Produces bit-identical trajectories
-    to the epoch loop (same precomputed per-epoch keys; pinned by
-    tests/test_fused_epochs.py). Default (None): on for TPU backends unless
-    mid-training checkpointing is requested, off on CPU.
-
-    ``epoch_chunk`` (with ``fused_epochs``): compile a K-epoch program and
-    dispatch it ceil(E/K) times instead of one whole-run program — the middle
-    ground when the whole-run compile is expensive on the remote platform
-    (the openLAB preset: ~155-200 s whole-run compile vs seconds-level for a
-    chunk; measured in tools/probe_epoch_chunks.py). The carry (params, opt
-    state, on-device best-val selection) stays device-resident between
-    dispatches, so the trajectory is bit-identical to the whole-run program
-    and the loop. If K does not divide E the remainder chunk costs a second
-    compile — prefer K | E. A perf knob only: it has no effect when the
-    fused path is not taken (``fused_epochs=False`` or the CPU auto-default)
-    — the loop already pays no whole-run compile.
-
-    ``Ztr``/``Zva``: (N, T, D) normalized window stacks (already on device or host).
-
-    With ``checkpoint_dir`` + ``checkpoint_every=k``, the FULL training state
-    (params, optimizer moments, best-val selection, PRNG key, history) persists
-    every k epochs and an interrupted run resumes exactly (a capability the
-    reference lacks — SURVEY.md §5 checkpoint/resume). By default this selects
-    the per-batch loop; pass ``fused_epochs=True`` to keep fused-path speed —
-    the run then dispatches in K-epoch chunks (K = ``epoch_chunk`` or
-    ``checkpoint_every``) and checkpoints at chunk boundaries that are
-    multiples of ``checkpoint_every``. The checkpoint format is identical
-    across paths, so a loop-checkpointed run resumes fused and vice versa,
-    on the same bit-identical trajectory.
-
-    ``mesh``: a 1-D ``jax.sharding.Mesh`` (see ``shm_tpu.parallel.make_mesh``)
-    turns every execution structure above — per-batch loop, fused whole-run
-    scan, checkpointed/resumed runs — into data-parallel SPMD: params/window
-    stacks are replicated, each minibatch is sharded over ``mesh_axis`` via a
-    sharding constraint, and XLA partitions the forward/backward with a psum
-    over ICI for the gradient reduction. The program is the SAME math as
-    single-device (one global batch per step, global-batch loss mean, one
-    RNG stream) so trajectories match the single-device run exactly up to
-    float reduction order (pinned by tests/test_parallel.py). The reference
-    has no distributed training at all (SURVEY.md §2.4; single-device loop at
-    4DOF/Scripts/03_train_vae.py:254-278). Incompatible with
-    ``use_pallas_kernel`` (custom calls are not auto-partitionable).
+    Everything returned is a pure function of the arguments here — no
+    window data, params, or RNG state is captured.
     """
-    if epoch_chunk is not None and epoch_chunk < 1:
-        raise ValueError(f"epoch_chunk must be >= 1, got {epoch_chunk}")
-    if mesh is not None and use_pallas_kernel:
-        raise ValueError(
-            "mesh= data-parallel training uses XLA auto-partitioning, which "
-            "cannot split the Pallas training kernels (custom calls); pass "
-            "use_pallas_kernel=False with mesh=, or train single-device")
+    from types import SimpleNamespace
+
+    bs = cfg.batch_size
+    nb, pad = _batch_plan(N, bs)
+    nvb, vpad = _batch_plan(Nva, bs)
+    tx = make_optimizer(cfg)
+
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as _P
 
         _dp = NamedSharding(mesh, _P(mesh_axis))
-        _rep = NamedSharding(mesh, _P())
 
         def dp_constrain(x):
             return jax.lax.with_sharding_constraint(x, _dp)
-
-        Ztr = jax.device_put(jnp.asarray(Ztr), _rep)
-        Zva = jax.device_put(jnp.asarray(Zva), _rep)
     else:
         def dp_constrain(x):
             return x
-
-    Ztr = jnp.asarray(Ztr)
-    Zva = jnp.asarray(Zva)
-    N, T, D = Ztr.shape
-    bs = cfg.batch_size
-    nb, pad = _batch_plan(N, bs)
-    nvb, vpad = _batch_plan(Zva.shape[0], bs)
-
-    tx = make_optimizer(cfg)
-    root = jax.random.PRNGKey(cfg.seed)
-    # the whole key schedule (epoch_keys below) derives from cfg.seed AND
-    # whether an init split is consumed here — recorded in checkpoints so a
-    # resume with mismatched init_params-presence fails loudly instead of
-    # silently diverging the trajectory
-    init_consumed = init_params is None
-    if init_params is None:
-        k_init, root = jax.random.split(root)
-        init_params = model.init(
-            {"params": k_init}, jnp.zeros((2, T, D), Ztr.dtype)
-        )["params"]
-    params = init_params
-    opt_state = tx.init(params)
-    if mesh is not None:
-        # replicate the training state on every device of the mesh
-        params = jax.device_put(params, _rep)
-        opt_state = jax.device_put(opt_state, _rep)
 
     # --- the per-batch loss+grads, shared by the loop and fused paths ---
     # use_pallas_kernel swaps the forward/backward onto the custom-VJP fused
@@ -309,6 +216,242 @@ def train_vae(
         denom = jnp.maximum(ns.sum(), 1.0)
         return tl.sum() / denom, rl.sum() / denom, kll.sum() / denom
 
+    # --- fused-epochs chunk program (compiled per distinct chunk LENGTH;
+    # epoch_chunk=None -> one whole-run program) ---
+    @jax.jit
+    def run_chunk(carry, Ztr, Zva, kl_ws, keys, e_idx):
+        def epoch_body(carry, inp):
+            p, s, best_val, best_p, best_e = carry
+            kl_w, ks, e_i = inp
+            p, s, tl, rl, kl = train_epoch_core(p, s, Ztr, ks[0], kl_w)
+            vl, vr, vkl = val_epoch_core(p, Zva, ks[1], kl_w)
+            improved = vl < best_val
+            best_val = jnp.where(improved, vl, best_val)
+            best_e = jnp.where(improved, e_i, best_e)
+            best_p = jax.tree.map(
+                lambda b, q: jnp.where(improved, q, b), best_p, p)
+            return (p, s, best_val, best_p, best_e), (tl, rl, kl, vl, vr, vkl)
+
+        return jax.lax.scan(epoch_body, carry, (kl_ws, keys, e_idx))
+
+    # --- per-batch stepping for the epoch loop (checkpointing / CPU path) ---
+    # Reproduces train_epoch_core's key derivation and batch order exactly, so
+    # fused/loop/resume runs stay bit-identical; needed whenever per-epoch host
+    # control (mid-training checkpoints) is requested.
+    @jax.jit
+    def batch_step(params, opt_state, Ztr, bidx, bmask, bk, kl_w):
+        xb = Ztr[bidx]
+        (total, (r, kl)), grads = batch_loss_grads(params, xb, bmask, bk, kl_w)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        n = bmask.sum()
+        return params, opt_state, total * n, r * n, kl * n, n
+
+    @jax.jit
+    def epoch_prologue(key):
+        kperm, kbatch = jax.random.split(key)
+        perm = jax.random.permutation(kperm, N)
+        idx = jnp.concatenate([perm, perm[: pad]]) if pad else perm
+        return idx.reshape(nb, bs), jax.random.split(kbatch, nb)
+
+    mask_np = np.concatenate([np.ones((N,), np.float32),
+                              np.zeros((pad,), np.float32)]).reshape(nb, bs)
+    mask_dev = jnp.asarray(mask_np)
+
+    # The epoch-stats reduction runs UNDER JIT (the nb collected device
+    # scalars arrive as one pytree argument): stacking them eagerly instead
+    # issues ~4*nb tiny dispatches per epoch — per-op RPC overhead on the
+    # tunneled TPU, and the exact site of an intermittent XLA-CPU SIGABRT
+    # observed 4/4 times in this loop's eager broadcast_in_dim dispatch
+    # (CLAUDE.md; tests/test_cli.py::test_stage1dof_train_vae_devices_flag...).
+    # Same stack-then-sum reduction shape as train_epoch_core, so the
+    # loop/fused bit-identity contract is unchanged.
+    @jax.jit
+    def epoch_reduce(tls, rls, kls, ns):
+        denom = jnp.maximum(jnp.stack(ns).sum(), 1.0)
+        return (jnp.stack(tls).sum() / denom, jnp.stack(rls).sum() / denom,
+                jnp.stack(kls).sum() / denom)
+
+    def train_epoch(params, opt_state, Ztr, key, kl_w):
+        idx, bkeys = epoch_prologue(key)
+        tls, rls, kls, ns = [], [], [], []
+        for b in range(nb):
+            params, opt_state, tl, rl, kl, n = batch_step(
+                params, opt_state, Ztr, idx[b], mask_dev[b], bkeys[b], kl_w)
+            tls.append(tl); rls.append(rl); kls.append(kl); ns.append(n)
+        tl, rl, kl = epoch_reduce(tuple(tls), tuple(rls), tuple(kls), tuple(ns))
+        return params, opt_state, tl, rl, kl
+
+    val_epoch = jax.jit(val_epoch_core)
+
+    return SimpleNamespace(tx=tx, run_chunk=run_chunk,
+                           train_epoch=train_epoch, val_epoch=val_epoch)
+
+
+# Bounded program cache: see _build_train_programs. The key holds every
+# input the programs close over — model (flax Modules hash by field values),
+# shapes/dtype, the optimizer-relevant TrainConfig fields, and the path
+# flags. Seed/epochs/KL-warmup flow through arguments, so they are NOT keys.
+_PROGRAM_CACHE: "OrderedDict[tuple, Any]" = OrderedDict()
+_PROGRAM_CACHE_MAX = 8
+
+
+def _train_programs(model, N, Nva, T, D, in_dtype, cfg, val_sample,
+                    use_pallas_kernel, kernel_dtype, kernel_interpret,
+                    mesh, mesh_axis):
+    if mesh is not None:
+        return _build_train_programs(model, N, Nva, T, D, in_dtype, cfg,
+                                     val_sample, use_pallas_kernel,
+                                     kernel_dtype, kernel_interpret,
+                                     mesh, mesh_axis)
+    key = (model, N, Nva, T, D, str(in_dtype), cfg.batch_size, cfg.lr,
+           cfg.weight_decay, cfg.grad_clip, cfg.decoupled_wd, val_sample,
+           use_pallas_kernel, str(kernel_dtype), kernel_interpret)
+    try:
+        prog = _PROGRAM_CACHE.get(key)
+    except TypeError:        # unhashable custom model — just build fresh
+        prog = None
+        key = None
+    if prog is None:
+        prog = _build_train_programs(model, N, Nva, T, D, in_dtype, cfg,
+                                     val_sample, use_pallas_kernel,
+                                     kernel_dtype, kernel_interpret,
+                                     None, mesh_axis)
+        if key is not None:
+            _PROGRAM_CACHE[key] = prog
+            while len(_PROGRAM_CACHE) > _PROGRAM_CACHE_MAX:
+                _PROGRAM_CACHE.popitem(last=False)
+    else:
+        _PROGRAM_CACHE.move_to_end(key)
+    return prog
+
+
+def _batch_plan(N: int, bs: int) -> Tuple[int, int]:
+    nb = -(-N // bs)
+    pad = nb * bs - N
+    return nb, pad
+
+
+@dataclass
+class VAETrainResult:
+    params: Any                      # best-val params
+    last_params: Any
+    history: Dict[str, list] = field(default_factory=dict)
+    best_val: float = float("inf")
+    best_epoch: int = -1
+    seconds: float = 0.0
+
+
+def train_vae(
+    model,
+    Ztr: jax.Array,
+    Zva: jax.Array,
+    cfg: TrainConfig,
+    *,
+    init_params: Optional[Any] = None,
+    val_sample: bool = True,
+    log_every: int = 0,
+    checkpoint_dir: Optional[str] = None,
+    checkpoint_every: int = 0,
+    resume: bool = True,
+    fused_epochs: Optional[bool] = None,
+    epoch_chunk: Optional[int] = None,
+    use_pallas_kernel: bool = False,
+    kernel_dtype=jnp.bfloat16,
+    kernel_interpret: bool = False,
+    mesh=None,
+    mesh_axis: str = "data",
+) -> VAETrainResult:
+    """Train a TemporalVAE on normalized windows; returns best-val params + history.
+
+    ``fused_epochs``: run the WHOLE multi-epoch training as one jitted
+    ``lax.scan`` over epochs, with best-val selection on device — one dispatch
+    + one host fetch for the entire run. Produces bit-identical trajectories
+    to the epoch loop (same precomputed per-epoch keys; pinned by
+    tests/test_fused_epochs.py). Default (None): on for TPU backends unless
+    mid-training checkpointing is requested, off on CPU.
+
+    ``epoch_chunk`` (with ``fused_epochs``): compile a K-epoch program and
+    dispatch it ceil(E/K) times instead of one whole-run program — the middle
+    ground when the whole-run compile is expensive on the remote platform
+    (the openLAB preset: ~155-200 s whole-run compile vs seconds-level for a
+    chunk; measured in tools/probe_epoch_chunks.py). The carry (params, opt
+    state, on-device best-val selection) stays device-resident between
+    dispatches, so the trajectory is bit-identical to the whole-run program
+    and the loop. If K does not divide E the remainder chunk costs a second
+    compile — prefer K | E. A perf knob only: it has no effect when the
+    fused path is not taken (``fused_epochs=False`` or the CPU auto-default)
+    — the loop already pays no whole-run compile.
+
+    ``Ztr``/``Zva``: (N, T, D) normalized window stacks (already on device or host).
+
+    With ``checkpoint_dir`` + ``checkpoint_every=k``, the FULL training state
+    (params, optimizer moments, best-val selection, PRNG key, history) persists
+    every k epochs and an interrupted run resumes exactly (a capability the
+    reference lacks — SURVEY.md §5 checkpoint/resume). By default this selects
+    the per-batch loop; pass ``fused_epochs=True`` to keep fused-path speed —
+    the run then dispatches in K-epoch chunks (K = ``epoch_chunk`` or
+    ``checkpoint_every``) and checkpoints at chunk boundaries that are
+    multiples of ``checkpoint_every``. The checkpoint format is identical
+    across paths, so a loop-checkpointed run resumes fused and vice versa,
+    on the same bit-identical trajectory.
+
+    ``mesh``: a 1-D ``jax.sharding.Mesh`` (see ``shm_tpu.parallel.make_mesh``)
+    turns every execution structure above — per-batch loop, fused whole-run
+    scan, checkpointed/resumed runs — into data-parallel SPMD: params/window
+    stacks are replicated, each minibatch is sharded over ``mesh_axis`` via a
+    sharding constraint, and XLA partitions the forward/backward with a psum
+    over ICI for the gradient reduction. The program is the SAME math as
+    single-device (one global batch per step, global-batch loss mean, one
+    RNG stream) so trajectories match the single-device run exactly up to
+    float reduction order (pinned by tests/test_parallel.py). The reference
+    has no distributed training at all (SURVEY.md §2.4; single-device loop at
+    4DOF/Scripts/03_train_vae.py:254-278). Incompatible with
+    ``use_pallas_kernel`` (custom calls are not auto-partitionable).
+    """
+    if epoch_chunk is not None and epoch_chunk < 1:
+        raise ValueError(f"epoch_chunk must be >= 1, got {epoch_chunk}")
+    if mesh is not None and use_pallas_kernel:
+        raise ValueError(
+            "mesh= data-parallel training uses XLA auto-partitioning, which "
+            "cannot split the Pallas training kernels (custom calls); pass "
+            "use_pallas_kernel=False with mesh=, or train single-device")
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as _P
+
+        _rep = NamedSharding(mesh, _P())
+        Ztr = jax.device_put(jnp.asarray(Ztr), _rep)
+        Zva = jax.device_put(jnp.asarray(Zva), _rep)
+
+    Ztr = jnp.asarray(Ztr)
+    Zva = jnp.asarray(Zva)
+    N, T, D = Ztr.shape
+
+    # jitted programs, REUSED across calls with the same configuration (the
+    # seed and all per-epoch keys are arguments): a multi-seed study pays
+    # the compiles once (_build_train_programs)
+    prog = _train_programs(model, N, Zva.shape[0], T, D, Ztr.dtype, cfg,
+                           val_sample, use_pallas_kernel, kernel_dtype,
+                           kernel_interpret, mesh, mesh_axis)
+    tx = prog.tx
+    root = jax.random.PRNGKey(cfg.seed)
+    # the whole key schedule (epoch_keys below) derives from cfg.seed AND
+    # whether an init split is consumed here — recorded in checkpoints so a
+    # resume with mismatched init_params-presence fails loudly instead of
+    # silently diverging the trajectory
+    init_consumed = init_params is None
+    if init_params is None:
+        k_init, root = jax.random.split(root)
+        init_params = model.init(
+            {"params": k_init}, jnp.zeros((2, T, D), Ztr.dtype)
+        )["params"]
+    params = init_params
+    opt_state = tx.init(params)
+    if mesh is not None:
+        # replicate the training state on every device of the mesh
+        params = jax.device_put(params, _rep)
+        opt_state = jax.device_put(opt_state, _rep)
+
     # ----- fused-epochs fast path: the ENTIRE training run is one device
     # program (scan over epochs; best-val selection on device) — one dispatch,
     # one host fetch. With checkpoint_dir + checkpoint_every it still applies
@@ -407,23 +550,10 @@ def train_vae(
         else:
             chunk = min(epoch_chunk or E, E)
 
-        @jax.jit
-        def run_chunk(carry, Ztr, Zva, kl_ws, keys, e_idx):
-            """Scan over a block of epochs; one compiled program per distinct
-            chunk LENGTH (epoch_chunk=None -> one whole-run program)."""
-            def epoch_body(carry, inp):
-                p, s, best_val, best_p, best_e = carry
-                kl_w, ks, e_i = inp
-                p, s, tl, rl, kl = train_epoch_core(p, s, Ztr, ks[0], kl_w)
-                vl, vr, vkl = val_epoch_core(p, Zva, ks[1], kl_w)
-                improved = vl < best_val
-                best_val = jnp.where(improved, vl, best_val)
-                best_e = jnp.where(improved, e_i, best_e)
-                best_p = jax.tree.map(
-                    lambda b, q: jnp.where(improved, q, b), best_p, p)
-                return (p, s, best_val, best_p, best_e), (tl, rl, kl, vl, vr, vkl)
-
-            return jax.lax.scan(epoch_body, carry, (kl_ws, keys, e_idx))
+        # one compiled program per distinct chunk LENGTH (epoch_chunk=None
+        # -> one whole-run program); reused across train_vae calls via the
+        # program cache
+        run_chunk = prog.run_chunk
 
         t0 = time.perf_counter()
         carry = (params, opt_state, jnp.float32(best_val), best_params,
@@ -504,55 +634,11 @@ def train_vae(
             best_val=best_val, best_epoch=best_epoch, seconds=seconds,
         )
 
-    # --- per-batch stepping for the epoch loop (checkpointing / CPU path) ---
-    # Reproduces train_epoch_core's key derivation and batch order exactly, so
-    # fused/loop/resume runs stay bit-identical; needed whenever per-epoch host
-    # control (mid-training checkpoints) is requested.
-    @jax.jit
-    def batch_step(params, opt_state, Ztr, bidx, bmask, bk, kl_w):
-        xb = Ztr[bidx]
-        (total, (r, kl)), grads = batch_loss_grads(params, xb, bmask, bk, kl_w)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        n = bmask.sum()
-        return params, opt_state, total * n, r * n, kl * n, n
-
-    @jax.jit
-    def epoch_prologue(key):
-        kperm, kbatch = jax.random.split(key)
-        perm = jax.random.permutation(kperm, N)
-        idx = jnp.concatenate([perm, perm[: pad]]) if pad else perm
-        return idx.reshape(nb, bs), jax.random.split(kbatch, nb)
-
-    mask_np = np.concatenate([np.ones((N,), np.float32),
-                              np.zeros((pad,), np.float32)]).reshape(nb, bs)
-    mask_dev = jnp.asarray(mask_np)
-
-    # The epoch-stats reduction runs UNDER JIT (the nb collected device
-    # scalars arrive as one pytree argument): stacking them eagerly instead
-    # issues ~4*nb tiny dispatches per epoch — per-op RPC overhead on the
-    # tunneled TPU, and the exact site of an intermittent XLA-CPU SIGABRT
-    # observed 4/4 times in this loop's eager broadcast_in_dim dispatch
-    # (CLAUDE.md; tests/test_cli.py::test_stage1dof_train_vae_devices_flag...).
-    # Same stack-then-sum reduction shape as train_epoch_core, so the
-    # loop/fused bit-identity contract is unchanged.
-    @jax.jit
-    def epoch_reduce(tls, rls, kls, ns):
-        denom = jnp.maximum(jnp.stack(ns).sum(), 1.0)
-        return (jnp.stack(tls).sum() / denom, jnp.stack(rls).sum() / denom,
-                jnp.stack(kls).sum() / denom)
-
-    def train_epoch(params, opt_state, Ztr, key, kl_w):
-        idx, bkeys = epoch_prologue(key)
-        tls, rls, kls, ns = [], [], [], []
-        for b in range(nb):
-            params, opt_state, tl, rl, kl, n = batch_step(
-                params, opt_state, Ztr, idx[b], mask_dev[b], bkeys[b], kl_w)
-            tls.append(tl); rls.append(rl); kls.append(kl); ns.append(n)
-        tl, rl, kl = epoch_reduce(tuple(tls), tuple(rls), tuple(kls), tuple(ns))
-        return params, opt_state, tl, rl, kl
-
-    val_epoch = jax.jit(val_epoch_core)
+    # --- per-batch stepping for the epoch loop (checkpointing / CPU path),
+    # built once per configuration in _build_train_programs: reproduces the
+    # fused path's key derivation and batch order exactly, so fused/loop/
+    # resume runs stay bit-identical ---
+    train_epoch, val_epoch = prog.train_epoch, prog.val_epoch
 
     t0 = time.perf_counter()
 

@@ -62,6 +62,49 @@ def test_train_vae_learns(sine_windows):
     assert s_noise.mean() > scores.mean() * 2
 
 
+def test_train_program_cache_reuse_and_keying(sine_windows):
+    """train_vae reuses compiled programs across calls with the same
+    configuration (round 4: a multi-seed study no longer recompiles per
+    seed). The cache must be keyed so that (a) an identical call is
+    bit-identical and adds no entry, (b) a DIFFERENT SEED reuses the same
+    programs but produces a different trajectory (the seed flows through
+    arguments — a stale-capture bug would return seed-0 results), and
+    (c) a different lr misses the cache (lr is baked into the optimizer)."""
+    from shm_tpu.config import replace
+    from shm_tpu.train.vae import _PROGRAM_CACHE
+
+    W = sine_windows
+    ntr = int(0.7 * len(W))
+    cfg = TrainConfig(epochs=3, batch_size=32, lr=3e-3, weight_decay=1e-5,
+                      grad_clip=2.0, seed=0)
+    model = vae_from_config(VAEConfig(4, 4, 24, 1, 0.0, use_layernorm=True))
+
+    _PROGRAM_CACHE.clear()
+    r1 = train_vae(model, W[:ntr], W[ntr:], cfg)
+    n1 = len(_PROGRAM_CACHE)
+    assert n1 == 1
+
+    r2 = train_vae(model, W[:ntr], W[ntr:], cfg)         # identical call
+    assert len(_PROGRAM_CACHE) == n1                      # cache hit
+    assert r2.history["train_total"] == r1.history["train_total"]
+    for a, b in zip(jax.tree.leaves(r1.last_params),
+                    jax.tree.leaves(r2.last_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    r3 = train_vae(model, W[:ntr], W[ntr:], replace(cfg, seed=7))
+    assert len(_PROGRAM_CACHE) == n1                      # same programs
+    assert r3.history["train_total"] != r1.history["train_total"]
+
+    # epochs flow through arguments too: a different epoch count reuses the
+    # programs and matches the longer run's prefix trajectory exactly
+    r4 = train_vae(model, W[:ntr], W[ntr:], replace(cfg, epochs=2))
+    assert len(_PROGRAM_CACHE) == n1
+    assert r4.history["train_total"] == r1.history["train_total"][:2]
+
+    train_vae(model, W[:ntr], W[ntr:], replace(cfg, lr=1e-3))
+    assert len(_PROGRAM_CACHE) == n1 + 1                  # lr is a cache key
+
+
 def test_reconstruction_mse_matches_direct_apply(sine_windows):
     W = sine_windows[:10]
     model = vae_from_config(VAEConfig(4, 4, 24, 1, 0.0))

@@ -115,12 +115,15 @@ def run_mode(mode: str, epochs: int, warm_epochs: int | None = None) -> dict:
 
 
 def run_marginal(mode: str, e_lo: int = 10, e_hi: int = 50) -> dict:
-    """Marginal per-epoch rate of the fused whole-run program: every
-    train_vae call retraces (fresh local jit wrappers), so a single timed
-    call measures compile+run — the honest MARGINAL epoch cost is
-    (t(e_hi) - t(e_lo)) / (e_hi - e_lo), compiles cancelling (the scan
-    program's compile time is epoch-count-independent). This is the number
-    that answers 'what does one more epoch cost on device'."""
+    """Marginal per-epoch rate of the fused whole-run program.
+
+    train_vae's program cache (round 4) reuses compiled programs across
+    calls with the same configuration, but each distinct EPOCH COUNT is a
+    distinct scan length and pays its own first compile — so the honest
+    marginal epoch cost differencing must use the SECOND call at each
+    count: marg = (t2(e_hi) - t2(e_lo)) / (e_hi - e_lo), with both walls
+    compile-free. This is the number that answers 'what does one more
+    epoch cost on device'."""
     from shm_tpu.config import Stage4DofConfig, TrainConfig
     from shm_tpu.models import vae_from_config
     from shm_tpu.train.vae import train_vae
@@ -136,7 +139,7 @@ def run_marginal(mode: str, e_lo: int = 10, e_hi: int = 50) -> dict:
         train_vae(model, Ztr, Zva, tc, **kw)
         return time.perf_counter() - t0
 
-    wall(e_lo)                      # absorb first-ever compiles
+    wall(e_lo), wall(e_hi)          # absorb both scan lengths' compiles
     t_lo, t_hi = wall(e_lo), wall(e_hi)
     marg = (t_hi - t_lo) / (e_hi - e_lo)
     epoch_flops = train_epoch_flops()
