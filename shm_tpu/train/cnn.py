@@ -51,103 +51,35 @@ def cross_entropy_loss(logits: jax.Array, labels: jax.Array) -> jax.Array:
     return optax.softmax_cross_entropy_with_integer_labels(logits, labels)
 
 
-@dataclass
-class CNNTrainResult:
-    variables: Any                  # best {'params', 'batch_stats'}
-    history: Dict[str, list] = field(default_factory=dict)
-    best_val: float = float("inf")  # val loss at the selected epoch
-    best_metric: float = float("-inf")
-    best_epoch: int = -1
-    stopped_epoch: int = -1
-    seconds: float = 0.0
+def _build_cnn_programs(model, Ntr: int, Nva: int, cfg: TrainConfig,
+                        use_focal: bool, focal_gamma: float, alpha,
+                        weights, mesh, mesh_axis: str):
+    """Construct every jitted program one ``train_cnn`` configuration needs
+    (same design and rationale as ``train/vae.py::_build_train_programs``:
+    repeat calls with the same configuration reuse the compiled programs —
+    the seed flows through arguments, so e.g. the openLAB ``--quality``
+    multi-seed study pays the compiles once). ``alpha``/``weights`` are
+    closed over as program constants, so the cache keys on their VALUES
+    (bytes) in :func:`_cnn_programs`.
+    """
+    from types import SimpleNamespace
 
+    N = Ntr
+    bs = min(cfg.batch_size, N)
+    nb, pad = _batch_plan(N, bs)
+    nvb, vpad = _batch_plan(Nva, bs)
+    tx = make_optimizer(cfg)
 
-def train_cnn(
-    model,
-    Xtr: jax.Array,   # (N, H, W, C) NHWC inputs
-    ytr: jax.Array,   # (N,) int labels
-    Xva: jax.Array,
-    yva: jax.Array,
-    cfg: TrainConfig,
-    *,
-    loss: str = "ce",                    # "ce" | "focal"
-    focal_gamma: float = 2.0,
-    class_alpha: Optional[np.ndarray] = None,   # focal per-class weights
-    sample_weights: Optional[np.ndarray] = None,  # weighted sampling probs (N,)
-    val_metric_fn: Optional[Callable[[np.ndarray, np.ndarray], float]] = None,
-    log_every: int = 0,
-    checkpoint_dir: Optional[str] = None,
-    checkpoint_every: int = 0,
-    resume: bool = True,
-    fused_epoch: Optional[bool] = None,
-    mesh=None,
-    mesh_axis: str = "data",
-) -> CNNTrainResult:
-    """Train a CNN classifier; select best epoch by val loss (default) or by
-    ``val_metric_fn(probs, yva)`` (higher wins) when given.
-
-    ``fused_epoch``: run each epoch (batch loop + val pass) as ONE device
-    program — one dispatch + one host fetch per epoch instead of one per
-    batch. Same math, key derivation and batch order as the per-batch loop
-    (only last-bit XLA fusion rounding differs; pinned by
-    tests/test_train.py); early stopping and the host-side val metric keep
-    their per-epoch semantics either way. Default (None): on for TPU
-    backends, off on CPU.
-
-    ``checkpoint_dir``/``checkpoint_every`` enable full-state mid-training
-    checkpointing with exact resume (see shm_tpu.train.checkpoint).
-
-    ``mesh``: 1-D device mesh for data-parallel SPMD training (see
-    ``train_vae`` — same design: replicated state, minibatch sharded over
-    ``mesh_axis`` by a sharding constraint, XLA inserts the grad psum).
-    BatchNorm batch statistics are computed over the GLOBAL batch (the
-    sharded reduction is partitioned by XLA), so the trajectory matches
-    single-device exactly up to float reduction order — stricter than
-    per-device stats + pmean. Pinned by tests/test_parallel.py."""
-    Xtr, ytr = jnp.asarray(Xtr), jnp.asarray(ytr, jnp.int32)
-    Xva, yva_j = jnp.asarray(Xva), jnp.asarray(yva, jnp.int32)
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as _P
 
         _dp = NamedSharding(mesh, _P(mesh_axis))
-        _rep = NamedSharding(mesh, _P())
 
         def dp_constrain(x):
             return jax.lax.with_sharding_constraint(x, _dp)
-
-        Xtr = jax.device_put(Xtr, _rep)
-        ytr = jax.device_put(ytr, _rep)
-        Xva = jax.device_put(Xva, _rep)
-        yva_j = jax.device_put(yva_j, _rep)
     else:
         def dp_constrain(x):
             return x
-    N = Xtr.shape[0]
-    bs = min(cfg.batch_size, N)
-    nb, pad = _batch_plan(N, bs)
-
-    num_classes = model.num_classes
-    alpha = jnp.asarray(
-        class_alpha if class_alpha is not None else np.ones(num_classes),
-        jnp.float32,
-    )
-    weights = None
-    if sample_weights is not None:
-        w = np.asarray(sample_weights, np.float64)
-        weights = jnp.asarray(w / w.sum(), jnp.float32)
-
-    tx = make_optimizer(cfg)
-    root = jax.random.PRNGKey(cfg.seed)
-    k_init, root = jax.random.split(root)
-    variables = model.init({"params": k_init}, Xtr[:2], train=False)
-    params = variables["params"]
-    batch_stats = variables.get("batch_stats", {})
-    opt_state = tx.init(params)
-    if mesh is not None:
-        params = jax.device_put(params, _rep)
-        batch_stats = jax.device_put(batch_stats, _rep)
-        opt_state = jax.device_put(opt_state, _rep)
-    use_focal = loss == "focal"
 
     # window stacks are explicit arguments (jit closure constants re-stage per
     # call on this platform), and the epoch dispatches one jitted step per batch
@@ -213,26 +145,6 @@ def train_cnn(
         return (params, batch_stats, opt_state,
                 epoch_reduce(tuple(ls), tuple(ns)))
 
-    # fused per-epoch program: identical math/key derivation to the loop above,
-    # but the batch loop is a lax.scan inside ONE jitted call per epoch
-    @jax.jit
-    def fused_epoch_step(params, batch_stats, opt_state, Xtr, ytr, Xva, yva_j, key):
-        idx, mask, bkeys = epoch_prologue(key)
-
-        def body(carry, inp):
-            p, bst, s = carry
-            bidx, bmask, bk = inp
-            p, bst, s, l, n = batch_step(p, bst, s, Xtr, ytr, bidx, bmask, bk)
-            return (p, bst, s), (l, n)
-
-        (params, batch_stats, opt_state), (ls, ns) = jax.lax.scan(
-            body, (params, batch_stats, opt_state), (idx, mask, bkeys))
-        tl = ls.sum() / jnp.maximum(ns.sum(), 1.0)
-        vl, vprobs = val_epoch(params, batch_stats, Xva, yva_j)
-        return params, batch_stats, opt_state, tl, vl, vprobs
-
-    nvb, vpad = _batch_plan(Xva.shape[0], bs)
-
     @jax.jit
     def val_epoch(params, batch_stats, Xva, yva_j):
         Nv = Xva.shape[0]
@@ -257,6 +169,155 @@ def train_cnn(
         _, (ls, ns, probs) = jax.lax.scan(body, None, (idx, mask))
         vloss = ls.sum() / jnp.maximum(ns.sum(), 1.0)
         return vloss, probs.reshape(-1, probs.shape[-1])[:Nv]
+
+    # fused per-epoch program: identical math/key derivation to the loop above,
+    # but the batch loop is a lax.scan inside ONE jitted call per epoch
+    @jax.jit
+    def fused_epoch_step(params, batch_stats, opt_state, Xtr, ytr, Xva, yva_j, key):
+        idx, mask, bkeys = epoch_prologue(key)
+
+        def body(carry, inp):
+            p, bst, s = carry
+            bidx, bmask, bk = inp
+            p, bst, s, l, n = batch_step(p, bst, s, Xtr, ytr, bidx, bmask, bk)
+            return (p, bst, s), (l, n)
+
+        (params, batch_stats, opt_state), (ls, ns) = jax.lax.scan(
+            body, (params, batch_stats, opt_state), (idx, mask, bkeys))
+        tl = ls.sum() / jnp.maximum(ns.sum(), 1.0)
+        vl, vprobs = val_epoch(params, batch_stats, Xva, yva_j)
+        return params, batch_stats, opt_state, tl, vl, vprobs
+
+    return SimpleNamespace(tx=tx, train_epoch=train_epoch,
+                           fused_epoch_step=fused_epoch_step,
+                           val_epoch=val_epoch)
+
+
+_CNN_PROGRAM_CACHE: "dict" = {}
+_CNN_PROGRAM_CACHE_MAX = 8
+
+
+def _cnn_programs(model, Xtr_shape, Xva_shape, cfg, loss, focal_gamma,
+                  class_alpha, sample_weights, mesh, mesh_axis):
+    num_classes = model.num_classes
+    alpha = jnp.asarray(
+        class_alpha if class_alpha is not None else np.ones(num_classes),
+        jnp.float32,
+    )
+    weights = None
+    if sample_weights is not None:
+        w = np.asarray(sample_weights, np.float64)
+        weights = jnp.asarray(w / w.sum(), jnp.float32)
+    use_focal = loss == "focal"
+
+    def build(m):
+        return _build_cnn_programs(model, Xtr_shape[0], Xva_shape[0], cfg,
+                                   use_focal, focal_gamma, alpha, weights,
+                                   m, mesh_axis)
+
+    if mesh is not None:
+        return build(mesh)
+    key = (model, tuple(Xtr_shape), tuple(Xva_shape), cfg.batch_size,
+           cfg.lr, cfg.weight_decay, cfg.grad_clip, cfg.decoupled_wd,
+           use_focal, focal_gamma, np.asarray(alpha).tobytes(),
+           None if weights is None else np.asarray(weights).tobytes())
+    try:
+        prog = _CNN_PROGRAM_CACHE.get(key)
+    except TypeError:        # unhashable custom model — build fresh
+        return build(None)
+    if prog is None:
+        prog = build(None)
+        _CNN_PROGRAM_CACHE[key] = prog
+        while len(_CNN_PROGRAM_CACHE) > _CNN_PROGRAM_CACHE_MAX:
+            _CNN_PROGRAM_CACHE.pop(next(iter(_CNN_PROGRAM_CACHE)))
+    return prog
+
+
+@dataclass
+class CNNTrainResult:
+    variables: Any                  # best {'params', 'batch_stats'}
+    history: Dict[str, list] = field(default_factory=dict)
+    best_val: float = float("inf")  # val loss at the selected epoch
+    best_metric: float = float("-inf")
+    best_epoch: int = -1
+    stopped_epoch: int = -1
+    seconds: float = 0.0
+
+
+def train_cnn(
+    model,
+    Xtr: jax.Array,   # (N, H, W, C) NHWC inputs
+    ytr: jax.Array,   # (N,) int labels
+    Xva: jax.Array,
+    yva: jax.Array,
+    cfg: TrainConfig,
+    *,
+    loss: str = "ce",                    # "ce" | "focal"
+    focal_gamma: float = 2.0,
+    class_alpha: Optional[np.ndarray] = None,   # focal per-class weights
+    sample_weights: Optional[np.ndarray] = None,  # weighted sampling probs (N,)
+    val_metric_fn: Optional[Callable[[np.ndarray, np.ndarray], float]] = None,
+    log_every: int = 0,
+    checkpoint_dir: Optional[str] = None,
+    checkpoint_every: int = 0,
+    resume: bool = True,
+    fused_epoch: Optional[bool] = None,
+    mesh=None,
+    mesh_axis: str = "data",
+) -> CNNTrainResult:
+    """Train a CNN classifier; select best epoch by val loss (default) or by
+    ``val_metric_fn(probs, yva)`` (higher wins) when given.
+
+    ``fused_epoch``: run each epoch (batch loop + val pass) as ONE device
+    program — one dispatch + one host fetch per epoch instead of one per
+    batch. Same math, key derivation and batch order as the per-batch loop
+    (only last-bit XLA fusion rounding differs; pinned by
+    tests/test_train.py); early stopping and the host-side val metric keep
+    their per-epoch semantics either way. Default (None): on for TPU
+    backends, off on CPU.
+
+    ``checkpoint_dir``/``checkpoint_every`` enable full-state mid-training
+    checkpointing with exact resume (see shm_tpu.train.checkpoint).
+
+    ``mesh``: 1-D device mesh for data-parallel SPMD training (see
+    ``train_vae`` — same design: replicated state, minibatch sharded over
+    ``mesh_axis`` by a sharding constraint, XLA inserts the grad psum).
+    BatchNorm batch statistics are computed over the GLOBAL batch (the
+    sharded reduction is partitioned by XLA), so the trajectory matches
+    single-device exactly up to float reduction order — stricter than
+    per-device stats + pmean. Pinned by tests/test_parallel.py."""
+    Xtr, ytr = jnp.asarray(Xtr), jnp.asarray(ytr, jnp.int32)
+    Xva, yva_j = jnp.asarray(Xva), jnp.asarray(yva, jnp.int32)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as _P
+
+        _rep = NamedSharding(mesh, _P())
+        Xtr = jax.device_put(Xtr, _rep)
+        ytr = jax.device_put(ytr, _rep)
+        Xva = jax.device_put(Xva, _rep)
+        yva_j = jax.device_put(yva_j, _rep)
+    N = Xtr.shape[0]
+    bs = min(cfg.batch_size, N)
+
+    # jitted programs, reused across calls with the same configuration
+    # (same design as train/vae.py::_train_programs — the seed flows
+    # through arguments, so e.g. the openLAB --quality multi-seed study
+    # pays the compiles once)
+    prog = _cnn_programs(model, Xtr.shape, Xva.shape, cfg, loss, focal_gamma,
+                         class_alpha, sample_weights, mesh, mesh_axis)
+    tx = prog.tx
+    root = jax.random.PRNGKey(cfg.seed)
+    k_init, root = jax.random.split(root)
+    variables = model.init({"params": k_init}, Xtr[:2], train=False)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    opt_state = tx.init(params)
+    if mesh is not None:
+        params = jax.device_put(params, _rep)
+        batch_stats = jax.device_put(batch_stats, _rep)
+        opt_state = jax.device_put(opt_state, _rep)
+    train_epoch, fused_epoch_step, val_epoch = (
+        prog.train_epoch, prog.fused_epoch_step, prog.val_epoch)
 
     hist: Dict[str, list] = {k: [] for k in ("epoch", "train_loss", "val_loss", "val_metric")}
     best_val = float("inf")

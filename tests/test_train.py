@@ -105,6 +105,37 @@ def test_train_program_cache_reuse_and_keying(sine_windows):
     assert len(_PROGRAM_CACHE) == n1 + 1                  # lr is a cache key
 
 
+def test_cnn_program_cache_reuse_and_keying(cnn_toy_data):
+    """Same contract as the VAE cache: identical call bit-identical with no
+    new entry; a different seed reuses programs but diverges; different
+    sample weights (program CONSTANTS, keyed by value) miss the cache."""
+    from shm_tpu.config import replace
+    from shm_tpu.train.cnn import _CNN_PROGRAM_CACHE
+
+    X, y = cnn_toy_data
+    ntr = int(0.7 * len(X))
+    model = CNN4DOF(dropout=0.0)
+    cfg = TrainConfig(epochs=2, batch_size=32, lr=1e-3, weight_decay=0.0,
+                      grad_clip=2.0, seed=0)
+
+    _CNN_PROGRAM_CACHE.clear()
+    r1 = train_cnn(model, X[:ntr], y[:ntr], X[ntr:], y[ntr:], cfg)
+    n1 = len(_CNN_PROGRAM_CACHE)
+    assert n1 == 1
+    r2 = train_cnn(model, X[:ntr], y[:ntr], X[ntr:], y[ntr:], cfg)
+    assert len(_CNN_PROGRAM_CACHE) == n1
+    assert r2.history["train_loss"] == r1.history["train_loss"]
+    r3 = train_cnn(model, X[:ntr], y[:ntr], X[ntr:], y[ntr:],
+                   replace(cfg, seed=5))
+    assert len(_CNN_PROGRAM_CACHE) == n1
+    assert r3.history["train_loss"] != r1.history["train_loss"]
+    w = np.ones(ntr)
+    w[: ntr // 2] = 3.0
+    train_cnn(model, X[:ntr], y[:ntr], X[ntr:], y[ntr:], cfg,
+              sample_weights=w)
+    assert len(_CNN_PROGRAM_CACHE) == n1 + 1
+
+
 def test_reconstruction_mse_matches_direct_apply(sine_windows):
     W = sine_windows[:10]
     model = vae_from_config(VAEConfig(4, 4, 24, 1, 0.0))
