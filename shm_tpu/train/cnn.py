@@ -17,6 +17,7 @@ stats, optimizer — is one jitted ``lax.scan``; evaluation uses running statist
 from __future__ import annotations
 
 import time
+from collections import OrderedDict
 from dataclasses import dataclass, field
 from typing import Any, Callable, Dict, Optional, Tuple
 
@@ -193,44 +194,45 @@ def _build_cnn_programs(model, Ntr: int, Nva: int, cfg: TrainConfig,
                            val_epoch=val_epoch)
 
 
-_CNN_PROGRAM_CACHE: "dict" = {}
+_CNN_PROGRAM_CACHE: "OrderedDict" = OrderedDict()
 _CNN_PROGRAM_CACHE_MAX = 8
 
 
 def _cnn_programs(model, Xtr_shape, Xva_shape, cfg, loss, focal_gamma,
                   class_alpha, sample_weights, mesh, mesh_axis):
-    num_classes = model.num_classes
-    alpha = jnp.asarray(
-        class_alpha if class_alpha is not None else np.ones(num_classes),
-        jnp.float32,
-    )
-    weights = None
+    from shm_tpu.train.vae import _cache_get_or_build
+
+    # key on HOST numpy values (alpha/weights become program constants);
+    # device conversion happens only inside build() on a cache miss — a hit
+    # must cost zero device uploads/readbacks
+    alpha_np = np.asarray(
+        class_alpha if class_alpha is not None else np.ones(model.num_classes),
+        np.float32)
+    weights_np = None
     if sample_weights is not None:
         w = np.asarray(sample_weights, np.float64)
-        weights = jnp.asarray(w / w.sum(), jnp.float32)
+        weights_np = np.asarray(w / w.sum(), np.float32)
     use_focal = loss == "focal"
 
     def build(m):
+        alpha = jnp.asarray(alpha_np)
+        weights = None if weights_np is None else jnp.asarray(weights_np)
         return _build_cnn_programs(model, Xtr_shape[0], Xva_shape[0], cfg,
                                    use_focal, focal_gamma, alpha, weights,
                                    m, mesh_axis)
 
     if mesh is not None:
         return build(mesh)
-    key = (model, tuple(Xtr_shape), tuple(Xva_shape), cfg.batch_size,
-           cfg.lr, cfg.weight_decay, cfg.grad_clip, cfg.decoupled_wd,
-           use_focal, focal_gamma, np.asarray(alpha).tobytes(),
-           None if weights is None else np.asarray(weights).tobytes())
     try:
-        prog = _CNN_PROGRAM_CACHE.get(key)
+        key = (model, tuple(Xtr_shape), tuple(Xva_shape), cfg.batch_size,
+               cfg.lr, cfg.weight_decay, cfg.grad_clip, cfg.decoupled_wd,
+               use_focal, focal_gamma, alpha_np.tobytes(),
+               None if weights_np is None else weights_np.tobytes())
+        hash(key)
     except TypeError:        # unhashable custom model — build fresh
-        return build(None)
-    if prog is None:
-        prog = build(None)
-        _CNN_PROGRAM_CACHE[key] = prog
-        while len(_CNN_PROGRAM_CACHE) > _CNN_PROGRAM_CACHE_MAX:
-            _CNN_PROGRAM_CACHE.pop(next(iter(_CNN_PROGRAM_CACHE)))
-    return prog
+        key = None
+    return _cache_get_or_build(_CNN_PROGRAM_CACHE, _CNN_PROGRAM_CACHE_MAX,
+                               key, lambda: build(None))
 
 
 @dataclass
@@ -296,8 +298,6 @@ def train_cnn(
         ytr = jax.device_put(ytr, _rep)
         Xva = jax.device_put(Xva, _rep)
         yva_j = jax.device_put(yva_j, _rep)
-    N = Xtr.shape[0]
-    bs = min(cfg.batch_size, N)
 
     # jitted programs, reused across calls with the same configuration
     # (same design as train/vae.py::_train_programs — the seed flows

@@ -288,12 +288,44 @@ def _build_train_programs(model, N: int, Nva: int, T: int, D: int, in_dtype,
                            train_epoch=train_epoch, val_epoch=val_epoch)
 
 
-# Bounded program cache: see _build_train_programs. The key holds every
+# Bounded LRU program cache: see _build_train_programs. The key holds every
 # input the programs close over — model (flax Modules hash by field values),
 # shapes/dtype, the optimizer-relevant TrainConfig fields, and the path
 # flags. Seed/epochs/KL-warmup flow through arguments, so they are NOT keys.
+# Memory note: the bound limits CONFIGURATIONS; within one entry, the jit
+# wrappers still accumulate one executable per distinct argument-shape set
+# (e.g. per fused chunk length) — a long-lived process sweeping many epoch
+# counts should call clear_program_caches() between sweeps.
 _PROGRAM_CACHE: "OrderedDict[tuple, Any]" = OrderedDict()
 _PROGRAM_CACHE_MAX = 8
+
+
+def _cache_get_or_build(cache: OrderedDict, maxsize: int, key, build):
+    """Keyed LRU lookup shared by the VAE and CNN program caches.
+
+    ``key=None`` (unhashable inputs) builds fresh without caching; a hit
+    is promoted to most-recently-used so a hot configuration interleaved
+    with many one-off ones is never the eviction victim."""
+    if key is None:
+        return build()
+    prog = cache.get(key)
+    if prog is None:
+        prog = build()
+        cache[key] = prog
+        while len(cache) > maxsize:
+            cache.popitem(last=False)
+    else:
+        cache.move_to_end(key)
+    return prog
+
+
+def clear_program_caches() -> None:
+    """Drop every cached training program (VAE and CNN), releasing their
+    compiled executables and device-resident closure constants."""
+    from shm_tpu.train import cnn as _cnn
+
+    _PROGRAM_CACHE.clear()
+    _cnn._CNN_PROGRAM_CACHE.clear()
 
 
 def _train_programs(model, N, Nva, T, D, in_dtype, cfg, val_sample,
@@ -304,26 +336,20 @@ def _train_programs(model, N, Nva, T, D, in_dtype, cfg, val_sample,
                                      val_sample, use_pallas_kernel,
                                      kernel_dtype, kernel_interpret,
                                      mesh, mesh_axis)
-    key = (model, N, Nva, T, D, str(in_dtype), cfg.batch_size, cfg.lr,
-           cfg.weight_decay, cfg.grad_clip, cfg.decoupled_wd, val_sample,
-           use_pallas_kernel, str(kernel_dtype), kernel_interpret)
     try:
-        prog = _PROGRAM_CACHE.get(key)
+        key = hash_key = (model, N, Nva, T, D, str(in_dtype), cfg.batch_size,
+                          cfg.lr, cfg.weight_decay, cfg.grad_clip,
+                          cfg.decoupled_wd, val_sample, use_pallas_kernel,
+                          str(kernel_dtype), kernel_interpret)
+        hash(hash_key)
     except TypeError:        # unhashable custom model — just build fresh
-        prog = None
         key = None
-    if prog is None:
-        prog = _build_train_programs(model, N, Nva, T, D, in_dtype, cfg,
-                                     val_sample, use_pallas_kernel,
-                                     kernel_dtype, kernel_interpret,
-                                     None, mesh_axis)
-        if key is not None:
-            _PROGRAM_CACHE[key] = prog
-            while len(_PROGRAM_CACHE) > _PROGRAM_CACHE_MAX:
-                _PROGRAM_CACHE.popitem(last=False)
-    else:
-        _PROGRAM_CACHE.move_to_end(key)
-    return prog
+    return _cache_get_or_build(
+        _PROGRAM_CACHE, _PROGRAM_CACHE_MAX, key,
+        lambda: _build_train_programs(model, N, Nva, T, D, in_dtype, cfg,
+                                      val_sample, use_pallas_kernel,
+                                      kernel_dtype, kernel_interpret,
+                                      None, mesh_axis))
 
 
 def _batch_plan(N: int, bs: int) -> Tuple[int, int]:
