@@ -159,16 +159,29 @@ def cmd_gen_faults(paths: Paths, cfg: Stage4DofConfig, plot: bool = True,
               for s in scales[1:]]
     # a root can be re-generated under the OTHER regime (--legacy-faults vs
     # the default); stale case dirs would silently mix regimes in
-    # make-splits' rglob and corrupt every downstream metric — remove them
+    # make-splits' rglob and corrupt every downstream metric — remove them.
+    # Deletion is restricted to the union of the two KNOWN regimes' label
+    # sets: a user-placed custom case (e.g. a hand-simulated
+    # stiff_red_50pct) is never destroyed — it is reported and skipped,
+    # since make-splits would still pick it up.
     if paths.raw_struct.exists():
         import shutil
 
+        known = {f"stiff_red_{int(round((1.0 - s) * 100))}pct"
+                 for s in tuple(f.stiffness_scales)
+                 + tuple(f.legacy_stiffness_scales)}
         for d in sorted(paths.raw_struct.iterdir()):
-            if d.is_dir() and d.name.startswith("stiff_red_") \
-                    and d.name not in labels:
+            if not (d.is_dir() and d.name.startswith("stiff_red_")
+                    and d.name not in labels):
+                continue
+            if d.name in known:
                 shutil.rmtree(d)
                 print(f"[OK] removed stale structural case from the other "
                       f"regime: {d.name}")
+            else:
+                print(f"[WARN] unrecognized structural case dir kept: "
+                      f"{d.name} (not in either known regime; remove it "
+                      f"manually if it should not feed make-splits)")
     for label, run in zip(labels, runs[1:]):
         _write_run_csv(run, paths.raw_struct / label / f"{label}.csv")
         print(f"[OK] structural fault saved: {label}")

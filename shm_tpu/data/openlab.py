@@ -65,7 +65,12 @@ def import_catman_file(file_path: str | os.PathLike):
     import pandas as pd
 
     file_path = os.fspath(file_path)
-    with open(file_path, encoding="cp1252") as f:
+    # newline='' turns OFF universal-newline translation: without it a lone
+    # \r inside a free-text Comment field would be rewritten to \n before
+    # _split_lines keys on \n — the exact boundary shift that function
+    # guards against. \r\n endings are handled by its rstrip("\r") (header)
+    # and by pandas' C parser (table).
+    with open(file_path, encoding="cp1252", newline="") as f:
         text = f.read()
     header, table = _split_lines(text, CATMAN_SKIPROWS)
     if len(header) <= T0_LINE_INDEX or not table:

@@ -40,8 +40,11 @@ Endpoints:
   gets validated on the deployment's OWN traffic before promotion.
   ``POST /shadow/reset`` (admin) zeroes the comparison counters.
 
-- Admin surface (opt-in via ``--admin``; unauthenticated — bind it to a
-  trusted interface): ``POST /reload`` rebuilds the scorer from the SAME
+- Admin surface (opt-in via ``--admin``; authenticate it with
+  ``--admin-token TOKEN`` — every admin request must then carry a matching
+  ``X-Admin-Token`` header, constant-time-compared, 401 otherwise; without
+  a token, bind to a trusted interface): ``POST /reload`` rebuilds the
+  scorer from the SAME
   artifact source (after retraining/recalibration), warms every bucket
   while the old engine keeps serving, then swaps atomically — zero
   downtime, no cold requests; ``GET /reload`` reports progress
@@ -91,9 +94,11 @@ tests/test_serve_http.py.
 from __future__ import annotations
 
 import argparse
+import hmac
 import io
 import json
 import math
+import os
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, HTTPServer
@@ -284,6 +289,7 @@ class _Handler(BaseHTTPRequestHandler):
     series_strides = frozenset({1})   # /score_series strides warmed at start
     # admin surface (POST /reload, /drift/reset) — opt-in via make_server
     admin = False
+    admin_token = None          # shared secret; set -> X-Admin-Token required
     reload_fn = None            # zero-arg -> NEW scorer (enables /reload)
     reload_lock = None
     reload_state = None         # dict guarded by reload_lock
@@ -365,10 +371,7 @@ class _Handler(BaseHTTPRequestHandler):
                            else self.shadow.snapshot()),
             })
         elif self.path == "/reload":
-            if not self.admin:
-                self._err(403, "admin endpoints disabled (start the daemon "
-                               "with --admin)")
-            else:
+            if self._admin_ok():
                 self._send_json(200, self._reload_snapshot())
         elif self.path == "/metrics":
             if self.metrics is None:     # handler built without make_server()
@@ -471,6 +474,24 @@ class _Handler(BaseHTTPRequestHandler):
 
     # ------------------------------------------------------------------
     # admin surface
+    def _admin_ok(self) -> bool:
+        """Gate for the admin surface: 403 when ``--admin`` is off; when an
+        admin token is configured, 401 unless the request carries a matching
+        ``X-Admin-Token`` header. The comparison is constant-time
+        (``hmac.compare_digest``) so response timing leaks nothing about
+        how much of a guessed token matched."""
+        if not self.admin:
+            self._err(403, "admin endpoints disabled (start the daemon "
+                           "with --admin)")
+            return False
+        if self.admin_token is not None:
+            got = self.headers.get("X-Admin-Token") or ""
+            if not hmac.compare_digest(got.encode(), self.admin_token.encode()):
+                self._err(401, "missing or wrong X-Admin-Token header "
+                               "(this server was started with --admin-token)")
+                return False
+        return True
+
     def _drain_body(self) -> None:
         """Consume any request body the handler doesn't use (admin POSTs):
         under HTTP/1.1 keep-alive, unread body bytes would be parsed as the
@@ -499,9 +520,7 @@ class _Handler(BaseHTTPRequestHandler):
         the old engine keeps serving, then swap atomically — live traffic
         never hits a cold (compiling) scorer. 202 + poll GET /reload."""
         self._drain_body()
-        if not self.admin:
-            self._err(403, "admin endpoints disabled (start the daemon "
-                           "with --admin)")
+        if not self._admin_ok():
             return
         if self.reload_fn is None:
             self._err(501, "this server has no reload_fn (scorer was "
@@ -581,9 +600,7 @@ class _Handler(BaseHTTPRequestHandler):
         """Forget drift-monitor stream state (after recalibrating the
         threshold or re-baselining the expected rate)."""
         self._drain_body()
-        if not self.admin:
-            self._err(403, "admin endpoints disabled (start the daemon "
-                           "with --admin)")
+        if not self._admin_ok():
             return
         drift = None if self.metrics is None else self.metrics.drift
         if drift is None:
@@ -598,9 +615,7 @@ class _Handler(BaseHTTPRequestHandler):
         """Zero the shadow-comparison counters (e.g. after a /reload changed
         the primary, or to start a fresh observation window)."""
         self._drain_body()
-        if not self.admin:
-            self._err(403, "admin endpoints disabled (start the daemon "
-                           "with --admin)")
+        if not self._admin_ok():
             return
         if self.shadow is None:
             self._err(409, "no shadow scorer on this server (start the "
@@ -623,9 +638,7 @@ class _Handler(BaseHTTPRequestHandler):
         rate. IN-MEMORY ONLY by design: artifacts on disk are the durable
         calibration, so ``POST /reload`` (or a restart) restores them —
         durable recalibration is an offline threshold run + /reload."""
-        if not self.admin:
-            self._err(403, "admin endpoints disabled (start the daemon "
-                           "with --admin)")
+        if not self._admin_ok():
             return
         if self.warm_error is not None:
             self._err(500, f"warmup failed: {self.warm_error}")
@@ -807,7 +820,8 @@ def make_server(scorer, host: str = "127.0.0.1", port: int = 8787,
                 concurrent: bool = False, batch_window_ms: float = 2.0,
                 quiet: bool = True,
                 expected_rate: Optional[float] = None,
-                admin: bool = False, reload_fn=None,
+                admin: bool = False, admin_token: Optional[str] = None,
+                reload_fn=None,
                 shadow_scorer=None,
                 shadow_max_pending_windows: int = 8192) -> HTTPServer:
     """Build an HTTP server bound to ``scorer``; warm it in the background.
@@ -826,8 +840,12 @@ def make_server(scorer, host: str = "127.0.0.1", port: int = 8787,
     artifact reload — ``reload_fn()`` builds a NEW scorer from disk, it is
     warmed while the old one keeps serving, then the serving engine swaps
     atomically; poll ``GET /reload`` for state) and ``POST /drift/reset``
-    (forget drift-monitor stream state after recalibration). Keep admin
-    servers on a trusted interface — there is no authentication.
+    (forget drift-monitor stream state after recalibration).
+    ``admin_token`` (recommended whenever admin is on): every admin
+    endpoint then requires a matching ``X-Admin-Token`` header
+    (constant-time compare; 401 otherwise). Without a token the admin
+    surface is open to anyone who can reach the port — keep the bind
+    address trusted in that mode.
 
     ``series_strides`` are the X-Stride values ``/score_series`` accepts;
     every accepted stride is warmed during startup (acceptance implies
@@ -883,7 +901,10 @@ def make_server(scorer, host: str = "127.0.0.1", port: int = 8787,
                     "metrics": ServerMetrics(expected_rate=expected_rate),
                     "warm_error": None, "quiet": quiet,
                     "series_strides": frozenset(int(s) for s in series_strides),
-                    "admin": bool(admin), "reload_fn": reload_fn,
+                    "admin": bool(admin),
+                    "admin_token": (str(admin_token)
+                                    if admin_token else None),
+                    "reload_fn": reload_fn,
                     "reload_lock": threading.Lock(),
                     "reload_state": {"state": "idle", "generation": 0,
                                      "error": None},
@@ -984,13 +1005,31 @@ def _parse_args(argv):
     ap.add_argument("--admin", action="store_true",
                     help="enable the mutating admin endpoints: POST /reload "
                          "(hot artifact reload: warm-then-swap, zero "
-                         "downtime) and POST /drift/reset. Unauthenticated "
-                         "— keep the bind address trusted")
+                         "downtime), /recalibrate, /drift/reset, "
+                         "/shadow/reset. Pair with --admin-token unless the "
+                         "bind address is trusted")
+    ap.add_argument("--admin-token", default=None, metavar="TOKEN",
+                    help="shared secret for the admin surface: every admin "
+                         "request must carry a matching X-Admin-Token "
+                         "header (constant-time compare; 401 otherwise). "
+                         "Pass the value, or '@env' to read it from the "
+                         "SHM_TPU_ADMIN_TOKEN environment variable so the "
+                         "secret never appears on the process command line")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args(argv)
 
     if args.openlab is not None and args.shmx is not None:
         ap.error("--openlab and --shmx are mutually exclusive")
+    if args.admin_token is not None:
+        if not args.admin:
+            ap.error("--admin-token requires --admin (the token guards the "
+                     "admin surface; without --admin there is nothing to "
+                     "guard)")
+        if args.admin_token == "@env":
+            args.admin_token = os.environ.get("SHM_TPU_ADMIN_TOKEN", "")
+        if not args.admin_token:
+            ap.error("--admin-token must be non-empty (with '@env', set the "
+                     "SHM_TPU_ADMIN_TOKEN environment variable)")
     if args.shadow_queue_windows < 1:
         ap.error("--shadow-queue-windows must be >= 1")
     if (args.expected_anomaly_rate is not None
@@ -1092,7 +1131,7 @@ def main(argv=None) -> None:
                       batch_window_ms=args.batch_window_ms,
                       quiet=not args.verbose,
                       expected_rate=args.expected_anomaly_rate,
-                      admin=args.admin,
+                      admin=args.admin, admin_token=args.admin_token,
                       reload_fn=(lambda: _load_scorer(args)),
                       shadow_scorer=shadow_scorer,
                       shadow_max_pending_windows=args.shadow_queue_windows)

@@ -200,7 +200,7 @@ _CNN_PROGRAM_CACHE_MAX = 8
 
 def _cnn_programs(model, Xtr_shape, Xva_shape, cfg, loss, focal_gamma,
                   class_alpha, sample_weights, mesh, mesh_axis):
-    from shm_tpu.train.vae import _cache_get_or_build
+    from shm_tpu.train.vae import _cache_get_or_build, cfg_program_key
 
     # key on HOST numpy values (alpha/weights become program constants);
     # device conversion happens only inside build() on a cache miss — a hit
@@ -224,12 +224,14 @@ def _cnn_programs(model, Xtr_shape, Xva_shape, cfg, loss, focal_gamma,
     if mesh is not None:
         return build(mesh)
     try:
-        key = (model, tuple(Xtr_shape), tuple(Xva_shape), cfg.batch_size,
-               cfg.lr, cfg.weight_decay, cfg.grad_clip, cfg.decoupled_wd,
-               use_focal, focal_gamma, alpha_np.tobytes(),
+        # cfg_program_key: the whole TrainConfig minus argument-passed
+        # fields — mechanically includes any future field (stale-hit safe)
+        key = (model, tuple(Xtr_shape), tuple(Xva_shape),
+               cfg_program_key(cfg), use_focal, focal_gamma,
+               alpha_np.tobytes(),
                None if weights_np is None else weights_np.tobytes())
         hash(key)
-    except TypeError:        # unhashable custom model — build fresh
+    except TypeError:        # unhashable custom model / non-dataclass config
         key = None
     return _cache_get_or_build(_CNN_PROGRAM_CACHE, _CNN_PROGRAM_CACHE_MAX,
                                key, lambda: build(None))

@@ -26,6 +26,7 @@ from __future__ import annotations
 import math
 import time
 from collections import OrderedDict
+import dataclasses
 from dataclasses import dataclass, field
 from functools import partial
 from typing import Any, Dict, Optional, Tuple
@@ -319,6 +320,22 @@ def _cache_get_or_build(cache: OrderedDict, maxsize: int, key, build):
     return prog
 
 
+def cfg_program_key(cfg: TrainConfig):
+    """The TrainConfig portion of a program-cache key, derived MECHANICALLY.
+
+    The compiled programs depend on every TrainConfig field EXCEPT the ones
+    proven to flow through program *arguments* (seed, epochs,
+    kl_warmup_ratio, early_stop_patience — neutralized below). Using the
+    whole (frozen, hashable) config with those fields zeroed means any
+    FUTURE TrainConfig field is part of the key by default — a new field
+    consumed by make_optimizer or a program builder can never produce a
+    stale cache hit; at worst it costs a redundant rebuild. Raises
+    TypeError for non-TrainConfig config objects (callers fall back to
+    uncached builds on that)."""
+    return dataclasses.replace(cfg, seed=0, epochs=0, kl_warmup_ratio=0.0,
+                               early_stop_patience=0)
+
+
 def clear_program_caches() -> None:
     """Drop every cached training program (VAE and CNN), releasing their
     compiled executables and device-resident closure constants."""
@@ -337,13 +354,12 @@ def _train_programs(model, N, Nva, T, D, in_dtype, cfg, val_sample,
                                      kernel_dtype, kernel_interpret,
                                      mesh, mesh_axis)
     try:
-        key = hash_key = (model, N, Nva, T, D, str(in_dtype), cfg.batch_size,
-                          cfg.lr, cfg.weight_decay, cfg.grad_clip,
-                          cfg.decoupled_wd, val_sample, use_pallas_kernel,
-                          str(kernel_dtype), kernel_interpret)
-        hash(hash_key)
-    except TypeError:        # unhashable custom model — just build fresh
-        key = None
+        key = (model, N, Nva, T, D, str(in_dtype), cfg_program_key(cfg),
+               val_sample, use_pallas_kernel, str(kernel_dtype),
+               kernel_interpret)
+        hash(key)
+    except TypeError:    # unhashable custom model / non-dataclass config —
+        key = None       # just build fresh
     return _cache_get_or_build(
         _PROGRAM_CACHE, _PROGRAM_CACHE_MAX, key,
         lambda: _build_train_programs(model, N, Nva, T, D, in_dtype, cfg,

@@ -427,6 +427,27 @@ def test_parse_args_bucket_policy_and_early_validation():
             _parse_args(bad)
 
 
+def test_parse_args_admin_token(monkeypatch):
+    """--admin-token validation: requires --admin, must be non-empty, and
+    '@env' resolves through SHM_TPU_ADMIN_TOKEN (so the secret never rides
+    the process command line)."""
+    from shm_tpu.serve_http import _parse_args
+
+    args, _ = _parse_args(["--admin", "--admin-token", "s3cret"])
+    assert args.admin_token == "s3cret"
+
+    monkeypatch.setenv("SHM_TPU_ADMIN_TOKEN", "from-env")
+    args, _ = _parse_args(["--admin", "--admin-token", "@env"])
+    assert args.admin_token == "from-env"
+
+    monkeypatch.delenv("SHM_TPU_ADMIN_TOKEN")
+    for bad in (["--admin-token", "x"],                 # token without --admin
+                ["--admin", "--admin-token", ""],       # empty token
+                ["--admin", "--admin-token", "@env"]):  # env var unset
+        with pytest.raises(SystemExit):
+            _parse_args(bad)
+
+
 # ----------------------------------------------------------------------
 # admin surface: hot reload + drift reset
 
@@ -466,6 +487,57 @@ def test_admin_endpoints_disabled_by_default(server):
         with pytest.raises(urllib.error.HTTPError) as ei:
             _req(base + path, data=b"", method="POST")
         assert ei.value.code == 403
+
+
+def test_admin_token_guards_admin_surface():
+    """make_server(admin_token=...): every admin endpoint (GET /reload and
+    the mutating POSTs) answers 401 without — or with a wrong —
+    X-Admin-Token header; the right token restores normal behavior; the
+    scoring/observability surface never requires a token."""
+    T, D = 20, 4
+    sc = _mini_scorer(T, D, threshold=1e-6, rate=0.01)
+    srv = make_server(sc, port=0, admin=True, admin_token="s3cret")
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    assert srv.warm_event.wait(timeout=300)
+    tok = {"X-Admin-Token": "s3cret"}
+    try:
+        # token absent / wrong -> 401 on every admin endpoint
+        for path, method in (("/reload", "GET"), ("/reload", "POST"),
+                             ("/drift/reset", "POST"),
+                             ("/shadow/reset", "POST"),
+                             ("/recalibrate", "POST")):
+            data = b"" if method == "POST" else None
+            for hdr in ({}, {"X-Admin-Token": "wrong"}):
+                with pytest.raises(urllib.error.HTTPError) as ei:
+                    _req(base + path, data=data, headers=hdr, method=method)
+                assert ei.value.code == 401, (path, method, hdr)
+
+        # right token -> the admin surface behaves as without a token
+        code, _, body = _req(base + "/reload", headers=tok)
+        assert code == 200 and json.loads(body)["state"] == "idle"
+        code, _, body = _req(base + "/drift/reset", data=b"", headers=tok,
+                             method="POST")
+        assert code == 200 and json.loads(body)["windows"] == 0
+        with pytest.raises(urllib.error.HTTPError) as ei:   # past the gate:
+            _req(base + "/reload", data=b"", headers=tok, method="POST")
+        assert ei.value.code == 501                         # no reload_fn
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _req(base + "/shadow/reset", data=b"", headers=tok, method="POST")
+        assert ei.value.code == 409                         # no shadow
+
+        # non-admin surface never needs the token
+        code, _, _ = _req(base + "/healthz")
+        assert code == 200
+        W = np.random.default_rng(2).normal(size=(4, T, D)).astype(np.float32)
+        code, _, _ = _req(base + "/score", data=W.tobytes(),
+                          headers={"Content-Type": "application/octet-stream",
+                                   "X-Shape": f"4,{T},{D}"}, method="POST")
+        assert code == 200
+    finally:
+        srv.shutdown()
+        srv.server_close()
 
 
 def test_admin_reload_hot_swap():
