@@ -184,6 +184,32 @@ def test_featurize_dims_and_nan_safety(rng):
     np.testing.assert_allclose(F[2, 3 * 19:4 * 19], row, rtol=1e-5, atol=1e-7)
 
 
+def test_freq_features_bucketed_path_bit_equals_per_row(rng):
+    """The bucketed NaN-row vectorization (VERDICT r4 #5) must be
+    BIT-identical to the reference per-row compacting path on every row
+    class: fully finite, scattered NaNs, leading/trailing NaN blocks,
+    all-NaN, < 8 finite samples, and constant (zero-power) rows."""
+    from shm_tpu.data.features import _bandpower_row, _freq_features_batch
+
+    T = 200
+    X = rng.normal(size=(64, T)).astype(np.float32).astype(np.float64)
+    X[0, :] = np.nan                      # all NaN -> zeros
+    X[1, : T - 5] = np.nan                # 5 finite (< 8) -> zeros
+    X[2, ::3] = np.nan                    # scattered
+    X[3, :150] = np.nan                   # leading block
+    X[4, 50:] = np.nan                    # trailing block
+    X[5, :] = 2.5                         # constant -> zero power branch
+    X[6, ::2] = np.nan                    # half finite
+    for i in range(7, 32):                # random masks, varied finite counts
+        mask = rng.random(T) < rng.uniform(0.0, 0.9)
+        X[i, mask] = np.nan
+    got = _freq_features_batch(X)
+    ok = np.isfinite(X)
+    want = np.stack([np.asarray(_bandpower_row(X[i][ok[i]]))
+                     for i in range(len(X))])
+    np.testing.assert_array_equal(got, want)
+
+
 def test_featurize_constant_and_zero_channels():
     X = np.zeros((2, 200, 4), np.float32)
     X[0, :, 0] = 7.5
