@@ -23,9 +23,14 @@ the line then carries "degraded": "tpu_tunnel_down_cpu_fallback" and a CPU
 rate, which is NOT a TPU measurement.
 
 Prints ONE JSON line. Required keys: {"metric", "value", "unit",
-"vs_baseline"}; extra keys carry FLOP accounting: "flops_per_window", "mfu"
-(end-to-end, vs v5e bf16 peak), "device_side_windows_per_sec"/"device_mfu"
-(4x workload, remote-dispatch floor amortized — ROADMAP item 3), and
+"vs_baseline"}. "value" is the MEDIAN of PASSES independent measurement
+passes in this process, with "value_min"/"value_max" as the run-to-run
+spread (tunnel variance made visible in the artifact — VERDICT r4 #1), and
+"full_run_p50_latency_ms" is the p50 wall latency of one full 5,440-window
+run (the second half of BASELINE.json's north-star metric). Extra keys
+carry FLOP accounting: "flops_per_window", "mfu" (end-to-end, vs v5e bf16
+peak), "device_side_windows_per_sec"/"device_mfu" (4x workload,
+remote-dispatch floor amortized — ROADMAP item 3), and
 "mingru_device_side_windows_per_sec" (the opt-in non-parity minGRU preset's
 fused kernel on the same workload; None when its artifacts are absent).
 """
@@ -43,7 +48,8 @@ import numpy as np
 N_WINDOWS = 5440
 SEQ_LEN = 100
 NUM_FEATURES = 12
-REPEATS = 20
+PASSES = 3       # independent measurement passes; headline = median pass
+REPEATS = 7      # timed full-run calls per pass
 V5E_BF16_PEAK_FLOPS = 197e12   # per-chip bf16 peak, TPU v5e
 
 
@@ -216,8 +222,8 @@ def _rerun_on_cpu_degraded() -> int:
     return proc.returncode
 
 
-def bench_jax(workload, *, use_fused: bool = True, repeats: int = REPEATS,
-              device_side: bool = True) -> dict:
+def bench_jax(workload, *, use_fused: bool = True, passes: int = PASSES,
+              repeats: int = REPEATS, device_side: bool = True) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -245,27 +251,52 @@ def bench_jax(workload, *, use_fused: bool = True, repeats: int = REPEATS,
     fn = make_hybrid_fn(vae, cnn, use_fused_vae=use_fused,
                         fused_dtype=jnp.bfloat16 if use_fused else None)
 
-    def rate_for(Wn: np.ndarray, repeats: int) -> float:
+    def durations_for(Wn: np.ndarray, repeats: int) -> list:
+        """Per-call full-run durations (seconds), compile excluded."""
         Wd = jax.device_put(jnp.asarray(Wn))
         out = fn(vae_params, cnn_vars, Wd, mean, std, thr)   # compile
         float(out.mse.sum())                                 # force completion
         # NOTE: a host readback per repeat is required for honest timing — on
         # the remote-tunneled TPU platform block_until_ready returns before
         # execution finishes; only a device->host fetch proves completion.
-        t0 = time.perf_counter()
+        durs = []
         for _ in range(repeats):
+            t0 = time.perf_counter()
             out = fn(vae_params, cnn_vars, Wd, mean, std, thr)
             float(out.mse.sum())
-        dt = (time.perf_counter() - t0) / repeats
-        return Wn.shape[0] / dt
+            durs.append(time.perf_counter() - t0)
+        return durs
 
-    e2e = rate_for(W, repeats)
+    # headline: `passes` independent full measurement passes in one process
+    # (same compiled program, fresh timing loops) — the recorded value is
+    # the MEDIAN pass rate, with min/max as the run-to-run spread (VERDICT
+    # r4 #1: every doc quotes the driver artifact; the spread keys make
+    # tunnel variance visible in the artifact itself)
+    pass_rates = []
+    e2e_durs: list = []
+    for _ in range(passes):
+        durs = durations_for(W, repeats)
+        e2e_durs += durs
+        pass_rates.append(W.shape[0] / (sum(durs) / len(durs)))
+    pass_rates.sort()
+    e2e = pass_rates[len(pass_rates) // 2]
+    # full-run p50 latency: the OTHER half of BASELINE.json's north-star
+    # metric (the 5,440-window full-test-set pass the reference's
+    # 06_test_full_pipeline.py:327-383 makes) — p50 over every timed
+    # full-run call above, honest readback included
+    p50_ms = float(np.percentile(np.asarray(e2e_durs), 50) * 1e3)
     # device-side estimate: 4x workload amortizes the remote-dispatch floor
     # (meaningless off-TPU, where there is no remote-dispatch floor — the
     # degraded fallback skips it)
-    dev = (rate_for(np.concatenate([W] * 4), max(repeats // 4, 1))
-           if device_side else None)
-    return {"end_to_end": e2e, "device_side": dev}
+    dev = None
+    if device_side:
+        durs4 = durations_for(np.concatenate([W] * 4), max(repeats // 2, 1))
+        dev = 4 * W.shape[0] / (sum(durs4) / len(durs4))
+    return {"end_to_end": e2e,
+            "end_to_end_min": pass_rates[0],
+            "end_to_end_max": pass_rates[-1],
+            "full_run_p50_latency_ms": p50_ms,
+            "device_side": dev}
 
 
 def bench_mingru_device(W: np.ndarray, repeats: int = 5):
@@ -426,8 +457,8 @@ def main() -> None:
         workload = random_workload()
 
     # degraded/CPU run: XLA path (the Pallas kernel only runs interpreted
-    # off-TPU), fewer repeats, no 4x device-side pass, no minGRU kernel
-    bench_kw = (dict(use_fused=False, repeats=3, device_side=False)
+    # off-TPU), one short pass, no 4x device-side pass, no minGRU kernel
+    bench_kw = (dict(use_fused=False, passes=1, repeats=3, device_side=False)
                 if cpu_mode else {})
     if args.profile:
         from shm_tpu.utils.profiling import trace
@@ -482,6 +513,14 @@ def main() -> None:
     line = {
         "metric": "4dof_hybrid_inference_windows_per_sec",
         "value": round(rates["end_to_end"], 2),
+        # run-to-run spread across the PASSES independent measurement passes
+        # (value is the median pass); the spread IS the tunnel variance —
+        # quote value, not value_max
+        "value_min": round(rates["end_to_end_min"], 2),
+        "value_max": round(rates["end_to_end_max"], 2),
+        # p50 wall latency of one full 5,440-window run (the workload of
+        # 4DOF/Scripts/06_test_full_pipeline.py:327-383), honest readback
+        "full_run_p50_latency_ms": round(rates["full_run_p50_latency_ms"], 2),
         "unit": "windows/sec/chip",
         "platform": jax.default_backend(),
         # set when the TPU tunnel failed the bounded retried health probe and
@@ -511,7 +550,9 @@ def main() -> None:
         # the CPU measurement moves to explicitly-degraded keys instead
         line["degraded_cpu_windows_per_sec"] = line["value"]
         line["degraded_cpu_vs_baseline"] = line["vs_baseline"]
-        for k in ("value", "vs_baseline", "vs_baseline_live", "mfu"):
+        for k in ("value", "value_min", "value_max",
+                  "full_run_p50_latency_ms", "vs_baseline",
+                  "vs_baseline_live", "mfu"):
             line[k] = None
     print(json.dumps(line))
 
