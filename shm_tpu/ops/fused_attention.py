@@ -160,7 +160,7 @@ def _kernel(
     *refs,
     T: int, Tp: int, H: int, heads: int, num_layers: int,
     use_layernorm: bool, mlp_ratio: int, d_real: int, dtype, emulate: bool,
-    Bt: int, CW: int, nt_dot: bool, stream: bool,
+    Bt: int, CW: int, nt_dot: bool, stream: bool, ablate: frozenset,
 ):
     f32 = jnp.float32
     M4 = mlp_ratio * H
@@ -216,6 +216,8 @@ def _kernel(
         var = mean(x^2) - mean^2 clamped at 0; zero-padded scale/bias
         re-zero the padded lanes. ``eps`` is 1e-6 (flax) for the stack's
         internal norms, 1e-5 (torch) for the model-level norm."""
+        if "ln" in ablate:                # timing-only: norms become no-ops
+            return x
         xm = x * lane_mask
         mean = jnp.sum(xm, axis=1, keepdims=True) / H
         mean2 = jnp.sum(xm * xm, axis=1, keepdims=True) / H
@@ -251,12 +253,21 @@ def _kernel(
 
         def attn_pre(sl):
             nrm = ln(s_ref[sl, :].astype(f32), ln1s, ln1b)
+            if "proj" in ablate:          # timing-only: copies instead of mm
+                nd = nrm.astype(qkv_ref.dtype)
+                qkv_ref[sl, 0:_HP] = nd
+                qkv_ref[sl, _HP:2 * _HP] = nd
+                qkv_ref[sl, 2 * _HP:3 * _HP] = nd
+                return
             qkv_ref[sl, :] = (mm(nrm, wqkv[:]) + bqkv[:]).astype(qkv_ref.dtype)
 
         for_chunks(attn_pre)
 
         def attn_window(_, sl):
             q = qkv_ref[sl, 0:_HP]
+            if "attn_mm" in ablate:       # timing-only: skip score+PV matmuls
+                o_ref[sl, :] = q
+                return
             k = qkv_ref[sl, _HP:2 * _HP]
             v = qkv_ref[sl, 2 * _HP:3 * _HP]
             k_cat = jnp.concatenate([k * hm for hm in head_masks], axis=0)
@@ -265,13 +276,16 @@ def _kernel(
             else:
                 scores = mm(q, jnp.swapaxes(k_cat, 0, 1))
             scores = scores + key_neg
-            probs = []
-            for h in range(heads):
-                blk = scores[:, h * Tp:(h + 1) * Tp]
-                mx = jnp.max(blk, axis=1, keepdims=True)
-                e = jnp.exp(blk - mx)
-                probs.append(e / jnp.sum(e, axis=1, keepdims=True))
-            p_cat = jnp.concatenate(probs, axis=1)             # [Tp, heads*Tp]
+            if "softmax" in ablate:       # timing-only: linear instead of exp
+                p_cat = scores * 1e-4
+            else:
+                probs = []
+                for h in range(heads):
+                    blk = scores[:, h * Tp:(h + 1) * Tp]
+                    mx = jnp.max(blk, axis=1, keepdims=True)
+                    e = jnp.exp(blk - mx)
+                    probs.append(e / jnp.sum(e, axis=1, keepdims=True))
+                p_cat = jnp.concatenate(probs, axis=1)         # [Tp, heads*Tp]
             v_cat = jnp.concatenate([v * hm for hm in head_masks], axis=0)
             o_ref[sl, :] = mm(p_cat, v_cat).astype(o_ref.dtype)
 
@@ -284,6 +298,9 @@ def _kernel(
             product lands in its own 32 output lanes via the v*mask_h lane
             routing, so the per-head outputs sum directly."""
             q = qkv_ref[sl, 0:_HP]
+            if "attn_mm" in ablate:       # timing-only: skip score+PV matmuls
+                o_ref[sl, :] = q
+                return
             k = qkv_ref[sl, _HP:2 * _HP]
             v = qkv_ref[sl, 2 * _HP:3 * _HP]
             o_total = jnp.zeros((Tp, _HP), f32)
@@ -313,7 +330,10 @@ def _kernel(
         for_windows(attn_window_stream if stream else attn_window)
 
         def attn_post(sl):
-            xo = mm(o_ref[sl, :], wo[:]) + bo[:]
+            if "proj" in ablate:          # timing-only: skip the out matmul
+                xo = o_ref[sl, :].astype(f32)
+            else:
+                xo = mm(o_ref[sl, :], wo[:]) + bo[:]
             s_ref[sl, :] = (s_ref[sl, :].astype(f32) + xo).astype(s_ref.dtype)
 
         for_chunks(attn_post)
@@ -324,7 +344,8 @@ def _kernel(
             h1 = jax.nn.gelu(mm(nrm, w1[:]) + b1[:], approximate=True)
             s_ref[sl, :] = (xs + mm(h1, w2[:]) + b2[:]).astype(s_ref.dtype)
 
-        for_chunks(mlp)
+        if "mlp" not in ablate:           # ablation is timing-only
+            for_chunks(mlp)
 
     # ---- encoder ----
     def enc_in(sl):
@@ -374,7 +395,8 @@ def _kernel(
     jax.jit,
     static_argnames=("num_layers", "use_layernorm", "batch_tile", "dtype",
                      "io_dtype", "with_residual", "interpret", "emulate",
-                     "mlp_ratio", "nt_dot", "stream"),
+                     "mlp_ratio", "nt_dot", "stream", "chunk_windows",
+                     "_ablate"),
 )
 def fused_attention_gate(
     params: Dict,
@@ -391,6 +413,8 @@ def fused_attention_gate(
     mlp_ratio: int = 4,
     nt_dot: bool = True,
     stream: bool | None = None,
+    chunk_windows: int | None = None,
+    _ablate: tuple = (),
 ) -> Tuple[jax.Array, jax.Array | None]:
     """Fused deterministic attention-VAE pass: (mse [N], residual [N,T,D] | None).
 
@@ -411,6 +435,13 @@ def fused_attention_gate(
     presets: hidden_dim a multiple of 32 up to 128 with the stack's default
     head packing (head_dim 32) — i.e. every ``VAEConfig(cell="attention")``
     preset (1DOF H=32, openLAB H=64, 4DOF H=128).
+
+    ``chunk_windows`` sets how many windows each batched projection/MLP
+    matmul covers (must divide ``batch_tile``; default 4). ``_ablate`` is
+    PROBE-ONLY (tools/probe_attention_breakdown.py): a tuple of stage names
+    ({"ln", "proj", "attn_mm", "softmax", "mlp"}) whose work is skipped so
+    per-stage device time can be measured by differencing — ablated outputs
+    are numerically WRONG by design; never set it outside timing probes.
     """
     weights, H, heads = attention_params_to_kernel_weights(
         params, num_layers, use_layernorm)
@@ -434,7 +465,12 @@ def fused_attention_gate(
             raise ValueError(f"batch_tile must be a multiple of 8 on the "
                              f"compiled path, got {batch_tile}")
     Bt = batch_tile
-    CW = 4 if Bt % 4 == 0 else 1
+    # chunk width for the batched projection/MLP matmuls (windows per row
+    # chunk); larger chunks mean fewer, larger MXU ops (measured A/B in
+    # tools/probe_attention_breakdown.py)
+    CW = chunk_windows if chunk_windows else (4 if Bt % 4 == 0 else 1)
+    if Bt % CW:
+        raise ValueError(f"chunk_windows={CW} must divide batch_tile={Bt}")
     Np = _round_up(max(N, 1), Bt)
 
     Zp = jnp.pad(Z, ((0, Np - N), (0, Tp - T), (0, _HP - D)))
@@ -452,7 +488,7 @@ def fused_attention_gate(
         _kernel, T=T, Tp=Tp, H=H, heads=heads, num_layers=num_layers,
         use_layernorm=use_layernorm, mlp_ratio=mlp_ratio, d_real=D,
         dtype=dtype, emulate=emulate, Bt=Bt, CW=CW, nt_dot=nt_dot,
-        stream=stream)
+        stream=stream, ablate=frozenset(_ablate))
 
     mse_spec = pl.BlockSpec((Bt, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
     mse_shape = jax.ShapeDtypeStruct((Np, 1), jnp.float32)
