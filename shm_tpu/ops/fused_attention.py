@@ -437,7 +437,10 @@ def fused_attention_gate(
     preset (1DOF H=32, openLAB H=64, 4DOF H=128).
 
     ``chunk_windows`` sets how many windows each batched projection/MLP
-    matmul covers (must divide ``batch_tile``; default 4). ``_ablate`` is
+    matmul covers (must divide ``batch_tile``; default: the largest
+    divisor of ``batch_tile`` up to 16 with at most 2,048 rows per chunk —
+    measured +13.6% gate-only at the 4DOF shape over the old fixed 4,
+    bit-identical outputs; tools/probe_attention_breakdown.py). ``_ablate`` is
     PROBE-ONLY (tools/probe_attention_breakdown.py): a tuple of stage names
     ({"ln", "proj", "attn_mm", "softmax", "mlp"}) whose work is skipped so
     per-stage device time can be measured by differencing — ablated outputs
@@ -466,9 +469,21 @@ def fused_attention_gate(
                              f"compiled path, got {batch_tile}")
     Bt = batch_tile
     # chunk width for the batched projection/MLP matmuls (windows per row
-    # chunk); larger chunks mean fewer, larger MXU ops (measured A/B in
-    # tools/probe_attention_breakdown.py)
-    CW = chunk_windows if chunk_windows else (4 if Bt % 4 == 0 else 1)
+    # chunk). Default: the largest divisor of Bt up to 16 whose chunk
+    # covers at most 2,048 rows — fewer, taller MXU ops over identical math
+    # (row-partitioning a matmul leaves every row's dot products unchanged,
+    # so outputs are BIT-identical across CW; pinned on-chip). Measured
+    # +13.6% gate-only at the 4DOF shape (149.6k vs 131.7k win/s at bt=16:
+    # cw=16 vs the old cw=4 — tools/probe_attention_breakdown.py, round 5).
+    # The caps are VMEM-measured: cw=32 at bt=32/Tp=128 and cw=16 at
+    # Tp=256 exceed the ~16 MB scoped-VMEM budget (the f32 pre-cast
+    # projection/MLP temporaries scale with CW*Tp rows), so the row cap
+    # pins every shape to the 2,048-row regime the win was measured in.
+    if chunk_windows:
+        CW = chunk_windows
+    else:
+        CW = max((d for d in (16, 8, 4, 2)
+                  if Bt % d == 0 and d * Tp <= 2048), default=1)
     if Bt % CW:
         raise ValueError(f"chunk_windows={CW} must divide batch_tile={Bt}")
     Np = _round_up(max(N, 1), Bt)

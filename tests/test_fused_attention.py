@@ -58,6 +58,28 @@ def test_fused_attention_ragged_and_gate_only(kernel_setup):
     np.testing.assert_allclose(np.asarray(mse), mse_ref, atol=2e-6)
 
 
+def test_fused_attention_chunk_windows_matches(kernel_setup):
+    """chunk_windows (projection/MLP matmul height — round-5 throughput fix,
+    default now the largest divisor of batch_tile up to 16) only
+    re-partitions matmul rows, so every width must reproduce the flax
+    reference; an invalid width (not dividing batch_tile) must raise."""
+    from shm_tpu.ops import fused_attention_gate
+
+    model, params, Z = kernel_setup
+    mse_ref, resid_ref = _ref(model, params, Z)
+    for cw in (1, 2, 8):
+        mse, resid = fused_attention_gate(params, Z, dtype=jnp.float32,
+                                          interpret=True, batch_tile=8,
+                                          chunk_windows=cw)
+        np.testing.assert_allclose(np.asarray(mse), mse_ref, atol=2e-6,
+                                   err_msg=f"cw={cw}")
+        np.testing.assert_allclose(np.asarray(resid), resid_ref, atol=1e-5,
+                                   err_msg=f"cw={cw}")
+    with pytest.raises(ValueError, match="chunk_windows"):
+        fused_attention_gate(params, Z, dtype=jnp.float32, interpret=True,
+                             batch_tile=8, chunk_windows=3)
+
+
 def test_fused_attention_nt_dot_fallback_matches(kernel_setup):
     """The explicit-transpose score path (nt_dot=False) is bit-equivalent
     in exact arithmetic — it must stay a drop-in fallback."""
