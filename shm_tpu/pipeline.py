@@ -114,17 +114,25 @@ def make_hybrid_fn(vae_model, cnn_model, *, sample: bool = False,
                 from shm_tpu.ops import fused_attention_gate
 
                 # per-window rows are Tp-padded in VMEM, so the attention
-                # kernel tiles windows far smaller than the recurrent ones
+                # kernel tiles windows far smaller than the recurrent ones.
+                # io follows the compute dtype (bf16 in production): halves
+                # the x/residual HBM tiles — measured +2% hybrid same-
+                # process with 100.0000% gate AND y_pred agreement vs the
+                # XLA f32 path on the trained artifacts (round 5,
+                # BENCHMARKS.md).
                 mse, resid = fused_attention_gate(
                     vae_params, Z,
                     num_layers=vae_model.num_layers,
                     use_layernorm=vae_model.use_layernorm,
                     dtype=fused_dtype or vae_model.dtype,
+                    io_dtype=(fused_dtype
+                              if not fused_interpret else None),
                     interpret=fused_interpret,
                     emulate=fused_interpret,
                     batch_tile=min(fused_batch_tile, 16)
                     if not fused_interpret else fused_batch_tile,
                 )
+                resid = resid.astype(Z.dtype)
             elif cell == "min_gru":
                 from shm_tpu.ops import fused_mingru_gate
 
