@@ -168,9 +168,16 @@ def main() -> None:
     print("\nchunk_windows A/B (projection/MLP matmul height):")
     base = np.asarray(gate_fn(16)(aparams, Z4))
     for bt, cw in ((16, 8), (16, 16), (32, 16), (32, 32)):
-        fn = gate_fn(bt, cw=cw)
-        dt = timed(fn, aparams, Z4)
-        mse = np.asarray(fn(aparams, Z4))
+        # per-variant guard: cw=32 at bt=32 exceeds the scoped-VMEM budget
+        # (compile failure) — record it and keep probing instead of dying
+        try:
+            fn = gate_fn(bt, cw=cw)
+            dt = timed(fn, aparams, Z4)
+            mse = np.asarray(fn(aparams, Z4))
+        except Exception as e:
+            print(f"  bt={bt} cw={cw}: FAILED ({type(e).__name__}: "
+                  f"{str(e)[-160:]})", flush=True)
+            continue
         agree = float(np.mean((mse > thr) == (base > thr)))
         print(f"  bt={bt} cw={cw}: {N4/dt/1e3:6.1f}k win/s  "
               f"(vs full bt={bt}) gate agreement {agree*100:.4f}%  "
